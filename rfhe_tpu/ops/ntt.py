@@ -1,0 +1,184 @@
+"""Single-chip NTT/INTT kernels (jnp formulation; Pallas fused variant in
+pallas_ntt.py builds on the same plan).
+
+Design (TPU-first, not a port):
+  * DIF (decimation-in-frequency) forward with natural-order input and
+    bit-reversed output; DIT inverse consumes bit-reversed and emits natural.
+    Each stage is a reshape + slice + vectorized Shoup butterfly — no gathers,
+    no bit-reverse permutation pass, fully fusible by XLA and batched over
+    (ciphertext poly, RNS limb) leading axes.
+  * Values travel in the Montgomery domain (x̃ = x·R mod q): the negacyclic
+    ψ-premultiply table carries the R factor in, so pointwise products in the
+    NTT domain are single mont_muls, and the ψ⁻¹·n⁻¹ exit table removes R.
+  * All twiddle constants are Shoup-precomputed (one mulhi + 2 mullo per
+    butterfly mult), the same constant-mult trick the reference's GPU
+    substrate uses (reliability_test/ntt_test.cu:40-69 Shoup root powers).
+
+Reference parity: ntt/intt semantics match rfhe_framewk/src/ntt.py:38-62 and
+negaclic_ntt.py:86-109 (verified bit-exactly in tests via the oracle).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..numth import PrimeCtx, mod_inv, shoup_precompute
+from .u32 import add_mod, sub_mod, mul_mod_shoup, mont_mul, to_mont, from_mont
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@dataclass(frozen=True)
+class NttPlan:
+    """Precomputed device tables for one (n, q) pair."""
+
+    ctx: PrimeCtx
+    # forward stage twiddles, stage s operates on blocks of m = n >> s
+    fwd_w: Tuple[jnp.ndarray, ...]        # each (m/2,) uint32
+    fwd_w_shoup: Tuple[jnp.ndarray, ...]
+    inv_w: Tuple[jnp.ndarray, ...]        # inverse twiddles, same shapes
+    inv_w_shoup: Tuple[jnp.ndarray, ...]
+    psi_mont: jnp.ndarray                 # psi^i * R mod q  (entry table)
+    psi_mont_shoup: jnp.ndarray
+    psi_inv_n: jnp.ndarray                # psi^{-i} * n^{-1} mod q (exit table)
+
+    @classmethod
+    def make(cls, n: int, q: int) -> "NttPlan":
+        ctx = PrimeCtx.make(q, n)
+        omega = ctx.omega
+        R = 1 << 32
+        log_n = n.bit_length() - 1
+        fwd_w, fwd_ws, inv_w, inv_ws = [], [], [], []
+        omega_inv = mod_inv(omega, q)
+        for s in range(log_n):
+            m = n >> s
+            half = m // 2
+            wm = pow(omega, n // m, q)
+            wmi = pow(omega_inv, n // m, q)
+            tw = np.empty(half, dtype=np.uint32)
+            twi = np.empty(half, dtype=np.uint32)
+            tws = np.empty(half, dtype=np.uint32)
+            twis = np.empty(half, dtype=np.uint32)
+            w = wi = 1
+            for j in range(half):
+                tw[j] = w
+                twi[j] = wi
+                tws[j] = shoup_precompute(w, q)
+                twis[j] = shoup_precompute(wi, q)
+                w = (w * wm) % q
+                wi = (wi * wmi) % q
+            fwd_w.append(jnp.asarray(tw))
+            fwd_ws.append(jnp.asarray(tws))
+            inv_w.append(jnp.asarray(twi))
+            inv_ws.append(jnp.asarray(twis))
+        psi_i = np.empty(n, dtype=np.uint32)
+        psi_is = np.empty(n, dtype=np.uint32)
+        psi_inv_n = np.empty(n, dtype=np.uint32)
+        psi_inv = mod_inv(ctx.psi, q)
+        v = R % q
+        vi = ctx.n_inv % q
+        for i in range(n):
+            psi_i[i] = v
+            psi_is[i] = shoup_precompute(int(v), q)
+            psi_inv_n[i] = vi
+            v = (v * ctx.psi) % q
+            vi = (vi * psi_inv) % q
+        return cls(
+            ctx=ctx,
+            fwd_w=tuple(fwd_w), fwd_w_shoup=tuple(fwd_ws),
+            inv_w=tuple(inv_w), inv_w_shoup=tuple(inv_ws),
+            psi_mont=jnp.asarray(psi_i), psi_mont_shoup=jnp.asarray(psi_is),
+            psi_inv_n=jnp.asarray(psi_inv_n),
+        )
+
+    @property
+    def n(self) -> int:
+        return self.ctx.n
+
+    @property
+    def q(self) -> int:
+        return self.ctx.q
+
+
+def ntt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Cyclic forward NTT over the last axis: natural in, bit-reversed out.
+
+    Domain-agnostic: Shoup constant-mults preserve whatever domain x is in.
+    """
+    n = plan.n
+    q = plan.q
+    shape = x.shape
+    assert shape[-1] == n
+    lead = shape[:-1]
+    log_n = n.bit_length() - 1
+    for s in range(log_n):
+        m = n >> s
+        half = m // 2
+        xr = x.reshape(lead + (n // m, m))
+        a = xr[..., :half]
+        b = xr[..., half:]
+        u = add_mod(a, b, q)
+        d = sub_mod(a, b, q)
+        v = mul_mod_shoup(d, plan.fwd_w[s], plan.fwd_w_shoup[s], q)
+        x = jnp.concatenate([u, v], axis=-1).reshape(shape)
+    return x
+
+
+def intt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Cyclic inverse NTT: bit-reversed in, natural out.  Result carries an
+    extra factor n (removed by the caller's exit table or explicit n_inv)."""
+    n = plan.n
+    q = plan.q
+    shape = x.shape
+    lead = shape[:-1]
+    log_n = n.bit_length() - 1
+    for s in reversed(range(log_n)):
+        m = n >> s
+        half = m // 2
+        xr = x.reshape(lead + (n // m, m))
+        u = xr[..., :half]
+        v = xr[..., half:]
+        t = mul_mod_shoup(v, plan.inv_w[s], plan.inv_w_shoup[s], q)
+        hi = add_mod(u, t, q)
+        lo = sub_mod(u, t, q)
+        x = jnp.concatenate([hi, lo], axis=-1).reshape(shape)
+    return x
+
+
+def negacyclic_ntt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Negacyclic forward: ψ-premultiply (entering the Montgomery domain),
+    then cyclic NTT.  Output: Montgomery-domain, bit-reversed order."""
+    xm = mul_mod_shoup(x, plan.psi_mont, plan.psi_mont_shoup, plan.q)
+    return ntt(xm, plan)
+
+
+def negacyclic_intt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Negacyclic inverse: cyclic INTT then ψ⁻¹·n⁻¹ exit table, which also
+    removes the Montgomery factor via mont_mul.  Output: normal domain,
+    natural order."""
+    y = intt(x, plan)
+    return mont_mul(y, plan.psi_inv_n, plan.q, plan.ctx.qinv_neg)
+
+
+def pointwise_mul(a: jnp.ndarray, b: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Pointwise product of two Montgomery-domain NTT vectors (stays in
+    domain): the dyadic product at the heart of HMul
+    (cf. seal dyadic_product_coeffmod, BASELINE.md CKKS multiply 91%)."""
+    return mont_mul(a, b, plan.q, plan.ctx.qinv_neg)
+
+
+def poly_mul_negacyclic(a: jnp.ndarray, b: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Full negacyclic polynomial product mod (x^n + 1, q)."""
+    A = negacyclic_ntt(a, plan)
+    B = negacyclic_ntt(b, plan)
+    return negacyclic_intt(pointwise_mul(A, B, plan), plan)
