@@ -1,0 +1,157 @@
+"""Fault-injection primitives (L5): bit flips and multiplier-fault models as
+pure JAX transforms on uint32 residue arrays, driven by jax.random keys so
+campaigns vmap over trials with per-trial fold-in keys (replacing the
+reference's per-thread mt19937 streams, four_step_ntt_protected.cpp:320).
+
+Taxonomies implemented (SURVEY.md §5):
+  SCF-BF / SCF-MBU      storage single-bit / multi-bit-upset flips
+                        (four_step_ntt_protected.py:122-156)
+  MCF-PPE / MCF-CTE / MCF-CLE  multiplier partial-product / carry-tree /
+                        control-logic errors (:158-208)
+  SBF / DBF / MOF1      single/double bit flip, randomize
+                        (relia_ntt_sim.py:84-94)
+
+All injectors corrupt exactly one element (except MCF-CLE-matrix, which
+corrupts a row, matching :175-183) and wrap the corrupted value into [0, q)
+the way the reference does ((x ^ mask) % q, relia_ntt_sim.py:77-82).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _wrap(v: jnp.ndarray, q: int) -> jnp.ndarray:
+    # corrupted values are < 2^bitwidth <= 2q: one conditional subtract
+    return jnp.where(v >= q, v - jnp.uint32(q), v)
+
+
+def _scatter_xor_flat(x: jnp.ndarray, idx, mask, q: int) -> jnp.ndarray:
+    flat = x.reshape(-1)
+    v = _wrap(flat[idx] ^ mask, q)
+    return flat.at[idx].set(v).reshape(x.shape)
+
+
+def inject_sbf(key, x: jnp.ndarray, q: int, bitwidth: int) -> jnp.ndarray:
+    """Flip one random bit (< bitwidth) of one random element."""
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (), 0, x.size)
+    b = jax.random.randint(k2, (), 0, bitwidth, dtype=jnp.uint32)
+    return _scatter_xor_flat(x, idx, jnp.uint32(1) << b, q)
+
+
+def inject_dbf(key, x: jnp.ndarray, q: int, bitwidth: int) -> jnp.ndarray:
+    """Flip two independently-chosen random bits of one element (they may
+    coincide, degenerating to SBF — matching relia_ntt_sim.py:89-91)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    idx = jax.random.randint(k1, (), 0, x.size)
+    b1 = jax.random.randint(k2, (), 0, bitwidth, dtype=jnp.uint32)
+    b2 = jax.random.randint(k3, (), 0, bitwidth, dtype=jnp.uint32)
+    mask = jnp.where(b1 == b2, jnp.uint32(1) << b1,
+                     (jnp.uint32(1) << b1) | (jnp.uint32(1) << b2))
+    return _scatter_xor_flat(x, idx, mask, q)
+
+
+def inject_mbu(key, x: jnp.ndarray, q: int, bitwidth: int,
+               k_choices=(2, 3, 4)) -> jnp.ndarray:
+    """SCF-MBU: flip K contiguous bits at a random start
+    (four_step_ntt_protected.py:133-137)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    idx = jax.random.randint(k1, (), 0, x.size)
+    kc = jnp.asarray(k_choices, dtype=jnp.uint32)
+    K = kc[jax.random.randint(k2, (), 0, len(k_choices))]
+    start = jax.random.randint(k3, (), 0, max(1, bitwidth - int(max(k_choices)) + 1),
+                               dtype=jnp.uint32)
+    mask = (((jnp.uint32(1) << K) - 1) << start)
+    return _scatter_xor_flat(x, idx, mask, q)
+
+
+def inject_mof1(key, x: jnp.ndarray, q: int) -> jnp.ndarray:
+    """Randomize one element uniformly in [0, q)."""
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (), 0, x.size)
+    v = jax.random.randint(k2, (), 0, q, dtype=jnp.uint32)
+    flat = x.reshape(-1)
+    return flat.at[idx].set(v).reshape(x.shape)
+
+
+def inject_cte(key, x: jnp.ndarray, q: int, bitwidth: int) -> jnp.ndarray:
+    """MCF-CTE: bit flip biased to the high half of the word
+    (four_step_ntt_protected.py:171-173)."""
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (), 0, x.size)
+    lo = max(1, bitwidth // 2)
+    b = jax.random.randint(k2, (), lo, bitwidth, dtype=jnp.uint32)
+    return _scatter_xor_flat(x, idx, jnp.uint32(1) << b, q)
+
+
+def inject_cle_matrix(key, A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray,
+                      arith) -> jnp.ndarray:
+    """MCF-CLE on a matmul result: a whole output row absorbs ±{1,2}·A[i,k0]·B[k0,:]
+    (four_step_ntt_protected.py:175-183)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rows = C.shape[-2]
+    kdim = B.shape[-2]
+    i = jax.random.randint(k1, (), 0, rows)
+    k0 = jax.random.randint(k2, (), 0, kdim)
+    mfac = jax.random.randint(k3, (), 1, 3, dtype=jnp.uint32)   # 1 or 2
+    s = jax.random.bernoulli(k4)                                 # sign
+    delta = arith.mul(A[..., i, k0], B[..., k0, :])
+    delta = arith.mul(mfac, delta)
+    row = C[..., i, :]
+    new_row = jnp.where(s, arith.add(row, delta), arith.sub(row, delta))
+    return C.at[..., i, :].set(new_row)
+
+
+def inject_cle_vector(key, X: jnp.ndarray, T: jnp.ndarray, Y: jnp.ndarray,
+                      mod: int) -> jnp.ndarray:
+    """MCF-CLE on an elementwise product: Y[idx] = k·(X[idx]·T[idx]) mod M,
+    k ∈ {-1, 2, -2} (four_step_ntt_protected.py:203-207)."""
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (), 0, Y.size)
+    kk = jnp.asarray([mod - 1, 2, mod - 2], dtype=jnp.uint32)
+    kv = kk[jax.random.randint(k2, (), 0, 3)]
+    xf = X.reshape(-1)[idx]
+    tf = T.reshape(-1)[idx]
+    from ..ops.u32 import mul32_parts
+    # k·x·t mod M computed exactly via 64-bit pairs + shift-subtract (M may be
+    # composite, e.g. 2^W - 1, so the Montgomery path is unavailable).
+    hi, lo = mul32_parts(xf, tf)
+    hi, lo = _mod_u64(hi, lo, mod)
+    hi2, lo2 = mul32_parts(lo, kv)
+    _, r = _mod_u64(hi2, lo2, mod)
+    return Y.reshape(-1).at[idx].set(r).reshape(Y.shape)
+
+
+def _mod_u64(hi: jnp.ndarray, lo: jnp.ndarray, m: int):
+    """(hi:lo) mod m for m < 2^31 via static shift-subtract (33 unrolled
+    steps).  Used only in injection paths where m may be composite."""
+    for s in range(32, -1, -1):
+        # subtract m << s if (hi:lo) >= m << s
+        ms = m << s
+        ms_hi = jnp.uint32((ms >> 32) & 0xFFFFFFFF)
+        ms_lo = jnp.uint32(ms & 0xFFFFFFFF)
+        ge = (hi > ms_hi) | ((hi == ms_hi) & (lo >= ms_lo))
+        borrow = (lo < ms_lo).astype(jnp.uint32)
+        lo = jnp.where(ge, lo - ms_lo, lo)
+        hi = jnp.where(ge, hi - ms_hi - borrow, hi)
+    return hi, lo
+
+
+KIND_SBF = "SBF"
+KIND_DBF = "DBF"
+KIND_MOF1 = "MOF1"
+
+
+def inject_kind(kind: str, key, x: jnp.ndarray, q: int, bitwidth: int) -> jnp.ndarray:
+    if kind == "SBF" or kind == "SCF-BF" or kind == "MCF-PPE":
+        return inject_sbf(key, x, q, bitwidth)
+    if kind == "DBF":
+        return inject_dbf(key, x, q, bitwidth)
+    if kind == "SCF-MBU":
+        return inject_mbu(key, x, q, bitwidth)
+    if kind == "MCF-CTE":
+        return inject_cte(key, x, q, bitwidth)
+    if kind == "MOF1":
+        return inject_mof1(key, x, q)
+    raise ValueError(f"unknown fault kind {kind}")
