@@ -1,0 +1,249 @@
+"""CKKS scheme layer (L4): encode/decode, encrypt/decrypt, evaluator.
+
+Covers the SEAL/Phantom surface the reference consumes (SURVEY.md §2.5 item
+6-7): add, multiply (+relinearize), rescale, mod-switch, rotate/conjugate via
+Galois keys — the ops whose cost profile defines the paper's baselines
+(rotation = NTT 61% + switch_key 20%..., BASELINE.md).
+
+Encode/decode run on host in float64 (canonical embedding, exact O(n^2)
+evaluation — test-grade); everything after encode is exact integer RNS
+arithmetic on device.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import u32
+from .keys import KeyGen, KeySwitchKey, PublicKey, SecretKey, keyswitch
+from .params import CkksParams, make_prime_chain
+from .rns import (
+    RnsContext, RnsPoly, poly_add, poly_automorphism, poly_intt,
+    poly_mul_pointwise, poly_ntt, poly_sub, rescale,
+)
+
+
+# ---------------------------------------------------------------------------
+# host-side canonical embedding (test-grade O(n^2), float64)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def _slot_exponents(n: int) -> np.ndarray:
+    """k_j = 5^j mod 2n for j < n/2: the exponent of the primitive 2n-th root
+    at which slot j evaluates."""
+    ks = np.empty(n // 2, dtype=np.int64)
+    k = 1
+    for j in range(n // 2):
+        ks[j] = k
+        k = (k * 5) % (2 * n)
+    return ks
+
+
+def encode(z: np.ndarray, n: int, scale: float, moduli) -> np.ndarray:
+    """Complex slots (n/2,) -> (L, N) uint32 RNS coefficients."""
+    z = np.asarray(z, dtype=np.complex128)
+    assert z.shape == (n // 2,)
+    ks = _slot_exponents(n)
+    t = np.arange(n)
+    # a_t = (2/n) * Re( sum_j z_j * zeta^{-k_j t} ),  zeta = e^{i pi / n}
+    ang = -np.pi / n * np.outer(ks, t)          # (n/2, n)
+    basis = np.exp(1j * ang)
+    a = (2.0 / n) * np.real(z @ basis) * scale
+    coeffs = np.round(a).astype(np.int64)
+    return np.stack([
+        np.mod(coeffs, q).astype(np.uint32) for q in moduli
+    ])
+
+
+def decode(coeffs_signed: np.ndarray, n: int, scale: float) -> np.ndarray:
+    """Signed integer coefficients (N,) -> complex slots (n/2,)."""
+    ks = _slot_exponents(n)
+    t = np.arange(n)
+    ang = np.pi / n * np.outer(ks, t)
+    basis = np.exp(1j * ang)
+    return (basis @ coeffs_signed.astype(np.float64)) / scale
+
+
+def rns_to_signed(data: np.ndarray, moduli) -> np.ndarray:
+    """CRT-reconstruct (L, N) residues to centered Python-int coefficients."""
+    from ..numth import crt_constants
+    moduli = [int(q) for q in moduli]
+    P, hat_p, inv_hat_p = crt_constants(moduli)
+    n = data.shape[1]
+    weights = [(hat_p[j] * inv_hat_p[j]) % P for j in range(len(moduli))]
+    out = []
+    for i in range(n):
+        x = sum(int(data[j, i]) * weights[j] for j in range(len(moduli))) % P
+        if x > P // 2:
+            x -= P
+        out.append(x)
+    return np.array(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# context & ciphertext
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Ciphertext:
+    c: List[RnsPoly]          # 2 (or 3 before relinearization), NTT domain
+    scale: float
+    # BGV only: multiplier to apply at decryption (mod t), accumulated by
+    # mod-switching (message scales by q_k^{-1} mod t per switch)
+    correction: int = 1
+
+    @property
+    def level(self) -> int:
+        return self.c[0].level
+
+    @property
+    def size(self) -> int:
+        return len(self.c)
+
+
+class CkksContext:
+    """Bundles parameters, RNS tables (ciphertext primes + special prime),
+    and key material."""
+
+    def __init__(self, params: CkksParams, special_bits: int = 31,
+                 seed: int = 7):
+        self.params = params
+        n = params.n
+        # special prime: NTT prime not colliding with the chain
+        sp = [p for p in make_prime_chain(n, [special_bits] * 3)
+              if p not in params.moduli][0]
+        self.special = sp
+        self.ctx = RnsContext.make(n, tuple(params.moduli) + (sp,))
+        self.L = params.L                     # ciphertext primes
+        self.keygen = KeyGen(self.ctx, self.L, params.sigma)
+        self.rng = np.random.default_rng(seed)
+        self.sk = self.keygen.gen_secret(self.rng)
+        self.pk = self.keygen.gen_public(self.sk, self.rng)
+        self.rlk = self.keygen.gen_relin(self.sk, self.rng)
+        self._galois: Dict[int, KeySwitchKey] = {}
+
+    # -- keys ---------------------------------------------------------------
+    def galois_key(self, g: int) -> KeySwitchKey:
+        if g not in self._galois:
+            self._galois[g] = self.keygen.gen_galois(self.sk, g, self.rng)
+        return self._galois[g]
+
+    def rotation_galois_element(self, r: int) -> int:
+        n = self.params.n
+        return pow(5, r % (n // 2), 2 * n)
+
+    # -- encode / encrypt ---------------------------------------------------
+    def encode(self, z, scale: Optional[float] = None,
+               level: Optional[int] = None) -> Tuple[RnsPoly, float]:
+        scale = scale or self.params.scale
+        level = self.L - 1 if level is None else level
+        data = encode(np.asarray(z), self.params.n, scale,
+                      self.params.moduli[:level + 1])
+        return RnsPoly(jnp.asarray(data), False), scale
+
+    def encrypt(self, pt: RnsPoly, scale: float) -> Ciphertext:
+        lvl = pt.level
+        n = self.params.n
+        from .keys import _rns_from_signed, _sample_gaussian, _sample_ternary
+        u = _sample_ternary(self.rng, n)
+        e0 = _sample_gaussian(self.rng, n, self.params.sigma)
+        e1 = _sample_gaussian(self.rng, n, self.params.sigma)
+        moduli = self.params.moduli[:lvl + 1]
+        plan = self.ctx.plan.slice(lvl + 1)
+        from ..ops.ntt import negacyclic_ntt
+        u_ntt = negacyclic_ntt(jnp.asarray(_rns_from_signed(u, moduli)), plan)
+        m0 = u32.add_mod(jnp.asarray(_rns_from_signed(e0, moduli)), pt.data,
+                         plan.q_arr[:, None])
+        m0_ntt = negacyclic_ntt(m0, plan)
+        m1_ntt = negacyclic_ntt(jnp.asarray(_rns_from_signed(e1, moduli)), plan)
+        q = plan.q_arr[:, None]
+        qinv = plan.qinv_arr[:, None]
+        c0 = u32.add_mod(u32.mont_mul(self.pk.b[:lvl + 1], u_ntt, q, qinv),
+                         m0_ntt, q)
+        c1 = u32.add_mod(u32.mont_mul(self.pk.a[:lvl + 1], u_ntt, q, qinv),
+                         m1_ntt, q)
+        return Ciphertext([RnsPoly(c0, True), RnsPoly(c1, True)], scale)
+
+    def decrypt(self, ct: Ciphertext) -> RnsPoly:
+        lvl = ct.level
+        plan = self.ctx.plan.slice(lvl + 1)
+        q = plan.q_arr[:, None]
+        qinv = plan.qinv_arr[:, None]
+        s = self.sk.s_ntt[:lvl + 1]
+        acc = ct.c[0].data
+        spow = s
+        for comp in ct.c[1:]:
+            acc = u32.add_mod(acc, u32.mont_mul(comp.data, spow, q, qinv), q)
+            spow = u32.mont_mul(spow, s, q, qinv)
+        return poly_intt(RnsPoly(acc, True), self.ctx)
+
+    def decrypt_decode(self, ct: Ciphertext) -> np.ndarray:
+        pt = self.decrypt(ct)
+        signed = rns_to_signed(np.asarray(pt.data),
+                               self.params.moduli[:ct.level + 1])
+        return decode(signed.astype(np.float64), self.params.n, ct.scale)
+
+    # -- evaluator ----------------------------------------------------------
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert abs(a.scale - b.scale) / a.scale < 1e-9 and a.level == b.level
+        return Ciphertext(
+            [poly_add(x, y, self.ctx) for x, y in zip(a.c, b.c)], a.scale)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level
+        return Ciphertext(
+            [poly_sub(x, y, self.ctx) for x, y in zip(a.c, b.c)], a.scale)
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Tensor product: (a0,a1)x(b0,b1) -> (d0, d1, d2), scales multiply."""
+        assert a.size == 2 and b.size == 2 and a.level == b.level
+        mul = lambda x, y: poly_mul_pointwise(x, y, self.ctx)
+        d0 = mul(a.c[0], b.c[0])
+        d1 = poly_add(mul(a.c[0], b.c[1]), mul(a.c[1], b.c[0]), self.ctx)
+        d2 = mul(a.c[1], b.c[1])
+        return Ciphertext([d0, d1, d2], a.scale * b.scale)
+
+    def relinearize(self, ct: Ciphertext) -> Ciphertext:
+        assert ct.size == 3
+        d2_coeff = poly_intt(ct.c[2], self.ctx)
+        k0, k1 = keyswitch(d2_coeff.data, self.rlk, ct.level, self.ctx, self.L)
+        c0 = poly_add(ct.c[0], RnsPoly(k0, True), self.ctx)
+        c1 = poly_add(ct.c[1], RnsPoly(k1, True), self.ctx)
+        return Ciphertext([c0, c1], ct.scale)
+
+    def multiply_relin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self.relinearize(self.multiply(a, b))
+
+    def rescale(self, ct: Ciphertext) -> Ciphertext:
+        q_top = self.params.moduli[ct.level]
+        return Ciphertext([rescale(p, self.ctx) for p in ct.c],
+                          ct.scale / q_top)
+
+    def multiply_plain(self, ct: Ciphertext, pt: RnsPoly,
+                       pt_scale: float) -> Ciphertext:
+        pt_ntt = poly_ntt(pt, self.ctx) if not pt.is_ntt else pt
+        return Ciphertext(
+            [poly_mul_pointwise(c, pt_ntt, self.ctx) for c in ct.c],
+            ct.scale * pt_scale)
+
+    def apply_galois(self, ct: Ciphertext, g: int) -> Ciphertext:
+        """σ_g then keyswitch σ_g(s) -> s."""
+        assert ct.size == 2
+        c0g = poly_automorphism(ct.c[0], g, self.ctx)
+        c1g = poly_automorphism(ct.c[1], g, self.ctx)
+        c1_coeff = poly_intt(c1g, self.ctx)
+        k0, k1 = keyswitch(c1_coeff.data, self.galois_key(g), ct.level,
+                           self.ctx, self.L)
+        c0 = poly_add(c0g, RnsPoly(k0, True), self.ctx)
+        return Ciphertext([c0, RnsPoly(k1, True)], ct.scale)
+
+    def rotate(self, ct: Ciphertext, r: int) -> Ciphertext:
+        """Rotate slots by r positions."""
+        return self.apply_galois(ct, self.rotation_galois_element(r))
+
+    def conjugate(self, ct: Ciphertext) -> Ciphertext:
+        return self.apply_galois(ct, 2 * self.params.n - 1)

@@ -1,0 +1,69 @@
+"""Scheme parameter sets (L4).
+
+Moduli chains are NTT-friendly primes q ≡ 1 (mod 2N), each < 2^31 so
+residues live in uint32 on the VPU — the same regime as the reference's SEAL
+configs (10×31-bit + 11×30-bit at N=32768, profile_framewk/src/framewk.cpp:
+1123-1131).  Key material is test-grade (σ=3.2 discrete gaussian, ternary
+secrets); the framework's subject is reliability, not certified security.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Sequence, Tuple
+
+from ..numth import find_ntt_primes
+
+
+def make_prime_chain(n: int, bit_sizes: Sequence[int]) -> List[int]:
+    """Distinct NTT primes (q ≡ 1 mod 2n) of the requested bit sizes, largest
+    first within each size."""
+    from collections import Counter
+    need = Counter(bit_sizes)
+    pool = {bits: find_ntt_primes(n, bits, count, negacyclic=True)
+            for bits, count in need.items()}
+    used = {bits: 0 for bits in need}
+    out = []
+    for bits in bit_sizes:
+        out.append(pool[bits][used[bits]])
+        used[bits] += 1
+    if len(set(out)) != len(out):
+        raise ValueError("duplicate primes in chain")
+    return out
+
+
+@dataclass(frozen=True)
+class CkksParams:
+    n: int
+    moduli: Tuple[int, ...]          # q_0 .. q_L (q_0 = base, last = top level)
+    scale: float
+    sigma: float = 3.2
+
+    @classmethod
+    def make(cls, n: int = 4096, levels: int = 3, q0_bits: int = 31,
+             scale_bits: int = 28) -> "CkksParams":
+        bits = [q0_bits] + [scale_bits] * levels
+        return cls(n=n, moduli=tuple(make_prime_chain(n, bits)),
+                   scale=float(1 << scale_bits))
+
+    @property
+    def L(self) -> int:
+        return len(self.moduli)
+
+
+@dataclass(frozen=True)
+class BgvParams:
+    n: int
+    moduli: Tuple[int, ...]
+    t: int                           # plaintext modulus, t ≡ 1 mod 2n for batching
+    sigma: float = 3.2
+
+    @classmethod
+    def make(cls, n: int = 4096, levels: int = 2, q_bits: int = 30,
+             t_bits: int = 16) -> "BgvParams":
+        moduli = make_prime_chain(n, [q_bits] * (levels + 1))
+        t = find_ntt_primes(n, t_bits, 1, negacyclic=True)[0]
+        return cls(n=n, moduli=tuple(moduli), t=t)
+
+    @property
+    def L(self) -> int:
+        return len(self.moduli)

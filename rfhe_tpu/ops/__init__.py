@@ -17,6 +17,7 @@ from .u32 import (  # noqa: F401
 from .matmul_mod import matmul_mod, DigitPlan  # noqa: F401
 from .ntt import (  # noqa: F401
     NttPlan,
+    StackedNttPlan,
     ntt,
     intt,
     negacyclic_ntt,

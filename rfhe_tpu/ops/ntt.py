@@ -109,17 +109,101 @@ class NttPlan:
     def q(self) -> int:
         return self.ctx.q
 
+    # broadcast helpers shared with StackedNttPlan (scalar case: no-ops)
+    def qb(self, ndim: int):
+        return self.q
 
-def ntt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    def qinvb(self, ndim: int):
+        return self.ctx.qinv_neg
+
+    def stage_w(self, s: int, inverse: bool = False):
+        return (self.inv_w[s], self.inv_w_shoup[s]) if inverse else \
+            (self.fwd_w[s], self.fwd_w_shoup[s])
+
+
+@dataclass(frozen=True)
+class StackedNttPlan:
+    """Per-limb NTT tables stacked along a leading L axis so one traced NTT
+    transforms all RNS limbs at once: x has shape (..., L, n), twiddles
+    broadcast as (L, 1, half), moduli as (L, 1, 1).  This is the RNS-batched
+    transform the CUDA substrate expresses as `batch_size` limbs per launch
+    (reliability_test/ntt_test.cu:44-95) — here it is one XLA program."""
+
+    n: int
+    q_arr: jnp.ndarray            # (L,) uint32
+    qinv_arr: jnp.ndarray         # (L,)
+    fwd_w: Tuple[jnp.ndarray, ...]       # each (L, m/2)
+    fwd_w_shoup: Tuple[jnp.ndarray, ...]
+    inv_w: Tuple[jnp.ndarray, ...]
+    inv_w_shoup: Tuple[jnp.ndarray, ...]
+    psi_mont: jnp.ndarray         # (L, n)
+    psi_mont_shoup: jnp.ndarray
+    psi_inv_n: jnp.ndarray
+
+    @classmethod
+    def make(cls, n: int, primes) -> "StackedNttPlan":
+        plans = [NttPlan.make(n, int(q)) for q in primes]
+        stack = lambda xs: jnp.stack(list(xs))
+        return cls(
+            n=n,
+            q_arr=jnp.asarray(np.array([p.q for p in plans], dtype=np.uint32)),
+            qinv_arr=jnp.asarray(
+                np.array([p.ctx.qinv_neg for p in plans], dtype=np.uint32)),
+            fwd_w=tuple(stack(p.fwd_w[s] for p in plans)
+                        for s in range(len(plans[0].fwd_w))),
+            fwd_w_shoup=tuple(stack(p.fwd_w_shoup[s] for p in plans)
+                              for s in range(len(plans[0].fwd_w))),
+            inv_w=tuple(stack(p.inv_w[s] for p in plans)
+                        for s in range(len(plans[0].inv_w))),
+            inv_w_shoup=tuple(stack(p.inv_w_shoup[s] for p in plans)
+                              for s in range(len(plans[0].inv_w))),
+            psi_mont=stack(p.psi_mont for p in plans),
+            psi_mont_shoup=stack(p.psi_mont_shoup for p in plans),
+            psi_inv_n=stack(p.psi_inv_n for p in plans),
+        )
+
+    @property
+    def L(self) -> int:
+        return int(self.q_arr.shape[0])
+
+    def slice(self, k: int) -> "StackedNttPlan":
+        """Plan restricted to the first k limbs (level-dropped ciphertexts)."""
+        return StackedNttPlan(
+            n=self.n, q_arr=self.q_arr[:k], qinv_arr=self.qinv_arr[:k],
+            fwd_w=tuple(w[:k] for w in self.fwd_w),
+            fwd_w_shoup=tuple(w[:k] for w in self.fwd_w_shoup),
+            inv_w=tuple(w[:k] for w in self.inv_w),
+            inv_w_shoup=tuple(w[:k] for w in self.inv_w_shoup),
+            psi_mont=self.psi_mont[:k],
+            psi_mont_shoup=self.psi_mont_shoup[:k],
+            psi_inv_n=self.psi_inv_n[:k],
+        )
+
+    def qb(self, ndim: int):
+        """q broadcastable against an (..., L, *tail) array with `ndim` tail
+        dims after the L axis."""
+        return self.q_arr.reshape((self.L,) + (1,) * ndim)
+
+    def qinvb(self, ndim: int):
+        return self.qinv_arr.reshape((self.L,) + (1,) * ndim)
+
+    def stage_w(self, s: int, inverse: bool = False):
+        w, ws = ((self.inv_w[s], self.inv_w_shoup[s]) if inverse
+                 else (self.fwd_w[s], self.fwd_w_shoup[s]))
+        return w[:, None, :], ws[:, None, :]
+
+
+def ntt(x: jnp.ndarray, plan) -> jnp.ndarray:
     """Cyclic forward NTT over the last axis: natural in, bit-reversed out.
 
     Domain-agnostic: Shoup constant-mults preserve whatever domain x is in.
+    Works for both NttPlan (x: (..., n)) and StackedNttPlan (x: (..., L, n)).
     """
     n = plan.n
-    q = plan.q
     shape = x.shape
     assert shape[-1] == n
     lead = shape[:-1]
+    q2 = plan.qb(2)
     log_n = n.bit_length() - 1
     for s in range(log_n):
         m = n >> s
@@ -127,20 +211,21 @@ def ntt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
         xr = x.reshape(lead + (n // m, m))
         a = xr[..., :half]
         b = xr[..., half:]
-        u = add_mod(a, b, q)
-        d = sub_mod(a, b, q)
-        v = mul_mod_shoup(d, plan.fwd_w[s], plan.fwd_w_shoup[s], q)
+        u = add_mod(a, b, q2)
+        d = sub_mod(a, b, q2)
+        w, ws = plan.stage_w(s)
+        v = mul_mod_shoup(d, w, ws, q2)
         x = jnp.concatenate([u, v], axis=-1).reshape(shape)
     return x
 
 
-def intt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+def intt(x: jnp.ndarray, plan) -> jnp.ndarray:
     """Cyclic inverse NTT: bit-reversed in, natural out.  Result carries an
     extra factor n (removed by the caller's exit table or explicit n_inv)."""
     n = plan.n
-    q = plan.q
     shape = x.shape
     lead = shape[:-1]
+    q2 = plan.qb(2)
     log_n = n.bit_length() - 1
     for s in reversed(range(log_n)):
         m = n >> s
@@ -148,36 +233,37 @@ def intt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
         xr = x.reshape(lead + (n // m, m))
         u = xr[..., :half]
         v = xr[..., half:]
-        t = mul_mod_shoup(v, plan.inv_w[s], plan.inv_w_shoup[s], q)
-        hi = add_mod(u, t, q)
-        lo = sub_mod(u, t, q)
+        w, ws = plan.stage_w(s, inverse=True)
+        t = mul_mod_shoup(v, w, ws, q2)
+        hi = add_mod(u, t, q2)
+        lo = sub_mod(u, t, q2)
         x = jnp.concatenate([hi, lo], axis=-1).reshape(shape)
     return x
 
 
-def negacyclic_ntt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+def negacyclic_ntt(x: jnp.ndarray, plan) -> jnp.ndarray:
     """Negacyclic forward: ψ-premultiply (entering the Montgomery domain),
     then cyclic NTT.  Output: Montgomery-domain, bit-reversed order."""
-    xm = mul_mod_shoup(x, plan.psi_mont, plan.psi_mont_shoup, plan.q)
+    xm = mul_mod_shoup(x, plan.psi_mont, plan.psi_mont_shoup, plan.qb(1))
     return ntt(xm, plan)
 
 
-def negacyclic_intt(x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+def negacyclic_intt(x: jnp.ndarray, plan) -> jnp.ndarray:
     """Negacyclic inverse: cyclic INTT then ψ⁻¹·n⁻¹ exit table, which also
     removes the Montgomery factor via mont_mul.  Output: normal domain,
     natural order."""
     y = intt(x, plan)
-    return mont_mul(y, plan.psi_inv_n, plan.q, plan.ctx.qinv_neg)
+    return mont_mul(y, plan.psi_inv_n, plan.qb(1), plan.qinvb(1))
 
 
-def pointwise_mul(a: jnp.ndarray, b: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+def pointwise_mul(a: jnp.ndarray, b: jnp.ndarray, plan) -> jnp.ndarray:
     """Pointwise product of two Montgomery-domain NTT vectors (stays in
     domain): the dyadic product at the heart of HMul
     (cf. seal dyadic_product_coeffmod, BASELINE.md CKKS multiply 91%)."""
-    return mont_mul(a, b, plan.q, plan.ctx.qinv_neg)
+    return mont_mul(a, b, plan.qb(1), plan.qinvb(1))
 
 
-def poly_mul_negacyclic(a: jnp.ndarray, b: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+def poly_mul_negacyclic(a: jnp.ndarray, b: jnp.ndarray, plan) -> jnp.ndarray:
     """Full negacyclic polynomial product mod (x^n + 1, q)."""
     A = negacyclic_ntt(a, plan)
     B = negacyclic_ntt(b, plan)
