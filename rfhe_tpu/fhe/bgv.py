@@ -66,6 +66,13 @@ class BgvContext:
         self._galois: Dict[int, KeySwitchKey] = {}
         # modswitch constants: q_k^{-1} mod t per limb
         self.qk_inv_t = [pow(q, -1, self.t) for q in params.moduli]
+        self._jits = {}
+
+    def _jit(self, name, fn):
+        if name not in self._jits:
+            import jax
+            self._jits[name] = jax.jit(fn)
+        return self._jits[name]
 
     # -- BGV-flavored keys (noise scaled by t) ------------------------------
     def _gen_public_bgv(self) -> PublicKey:
@@ -84,28 +91,8 @@ class BgvContext:
 
     def _gen_ks_bgv(self, s_prime_ntt: jnp.ndarray) -> KeySwitchKey:
         """Keyswitch key with t·e noise (so KS noise stays ≡ 0 mod t)."""
-        kg, ctx = self.keygen, self.ctx
-        n = ctx.n
-        q = ctx.plan.q_arr[:, None]
-        qinv = ctx.plan.qinv_arr[:, None]
-        from .keys import _sample_uniform_rns
-        from ..numth import shoup_precompute
-        p_sp = ctx.moduli[self.L]
-        bs, as_ = [], []
-        for j in range(self.L):
-            a = jnp.asarray(_sample_uniform_rns(self.rng, ctx.moduli, n))
-            e = _rns_from_signed(
-                self.t * _sample_gaussian(self.rng, n, self.params.sigma),
-                ctx.moduli)
-            e_ntt = negacyclic_ntt(jnp.asarray(e), ctx.plan)
-            b = u32.sub_mod(e_ntt, u32.mont_mul(a, self.sk.s_ntt, q, qinv), q)
-            pj = p_sp % ctx.moduli[j]
-            pj_s = shoup_precompute(pj, ctx.moduli[j])
-            add_j = u32.mul_mod_shoup(s_prime_ntt[j], pj, pj_s, ctx.moduli[j])
-            b = b.at[j].set(u32.add_mod(b[j], add_j, ctx.moduli[j]))
-            bs.append(b)
-            as_.append(a)
-        return KeySwitchKey(b=jnp.stack(bs), a=jnp.stack(as_))
+        return self.keygen.gen_keyswitch(self.sk, s_prime_ntt, self.rng,
+                                         noise_factor=self.t)
 
     def _gen_relin_bgv(self) -> KeySwitchKey:
         q = self.ctx.plan.q_arr[:, None]
@@ -198,7 +185,7 @@ class BgvContext:
             [poly_sub(x, y, self.ctx) for x, y in zip(a.c, b.c)], 1.0,
             correction=a.correction)
 
-    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    def _multiply_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         mul = lambda x, y: poly_mul_pointwise(x, y, self.ctx)
         d0 = mul(a.c[0], b.c[0])
         d1 = poly_add(mul(a.c[0], b.c[1]), mul(a.c[1], b.c[0]), self.ctx)
@@ -206,17 +193,26 @@ class BgvContext:
         return Ciphertext([d0, d1, d2], 1.0,
                           correction=(a.correction * b.correction) % self.t)
 
-    def relinearize(self, ct: Ciphertext) -> Ciphertext:
-        assert ct.size == 3
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._jit("multiply", self._multiply_impl)(a, b)
+
+    def _relinearize_impl(self, ct: Ciphertext, rlk) -> Ciphertext:
         d2_coeff = poly_intt(ct.c[2], self.ctx)
-        k0, k1 = keyswitch(d2_coeff.data, self.rlk, ct.level, self.ctx,
+        k0, k1 = keyswitch(d2_coeff.data, rlk, ct.level, self.ctx,
                            self.L, t=self.t)
         c0 = poly_add(ct.c[0], RnsPoly(k0, True), self.ctx)
         c1 = poly_add(ct.c[1], RnsPoly(k1, True), self.ctx)
         return Ciphertext([c0, c1], 1.0, correction=ct.correction)
 
+    def relinearize(self, ct: Ciphertext) -> Ciphertext:
+        assert ct.size == 3
+        return self._jit("relinearize", self._relinearize_impl)(ct, self.rlk)
+
     def multiply_relin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        return self.relinearize(self.multiply(a, b))
+        return self._jit(
+            "multiply_relin",
+            lambda x, y, k: self._relinearize_impl(self._multiply_impl(x, y), k)
+        )(a, b, self.rlk)
 
     def multiply_plain(self, ct: Ciphertext, pt: RnsPoly) -> Ciphertext:
         from .rns import poly_ntt
@@ -227,6 +223,9 @@ class BgvContext:
             correction=ct.correction)
 
     def mod_switch_to_next(self, ct: Ciphertext) -> Ciphertext:
+        return self._jit("mod_switch", self._mod_switch_impl)(ct)
+
+    def _mod_switch_impl(self, ct: Ciphertext) -> Ciphertext:
         """BGV modulus switch: divide by the top prime q_k while keeping the
         message mod t: c' = (c − δ)/q_k with δ ≡ c (mod q_k), δ ≡ 0 (mod t),
         δ centered (dotprod_test.cu:115 mod_switch_to_next_inplace)."""
@@ -275,16 +274,21 @@ class BgvContext:
         return Ciphertext(out_polys, 1.0,
                           correction=(ct.correction * qk) % self.t)
 
-    def apply_galois(self, ct: Ciphertext, g: int) -> Ciphertext:
-        assert ct.size == 2
+    def _apply_galois_impl(self, ct: Ciphertext, ksk, g: int) -> Ciphertext:
         c0g = poly_automorphism(ct.c[0], g, self.ctx)
         c1g = poly_automorphism(ct.c[1], g, self.ctx)
         c1_coeff = poly_intt(c1g, self.ctx)
-        k0, k1 = keyswitch(c1_coeff.data, self.galois_key(g), ct.level,
+        k0, k1 = keyswitch(c1_coeff.data, ksk, ct.level,
                            self.ctx, self.L, t=self.t)
         c0 = poly_add(c0g, RnsPoly(k0, True), self.ctx)
         return Ciphertext([c0, RnsPoly(k1, True)], 1.0,
                           correction=ct.correction)
+
+    def apply_galois(self, ct: Ciphertext, g: int) -> Ciphertext:
+        assert ct.size == 2
+        ksk = self.galois_key(g)
+        return self._jit(("galois", g),
+                         lambda c, k: self._apply_galois_impl(c, k, g))(ct, ksk)
 
     def rotate_rows(self, ct: Ciphertext, r: int) -> Ciphertext:
         n = self.params.n

@@ -88,6 +88,10 @@ def rns_to_signed(data: np.ndarray, moduli) -> np.ndarray:
 # context & ciphertext
 # ---------------------------------------------------------------------------
 
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class Ciphertext:
     c: List[RnsPoly]          # 2 (or 3 before relinearization), NTT domain
@@ -95,6 +99,15 @@ class Ciphertext:
     # BGV only: multiplier to apply at decryption (mod t), accumulated by
     # mod-switching (message scales by q_k^{-1} mod t per switch)
     correction: int = 1
+
+    def tree_flatten(self):
+        # scale/correction are trace-time metadata (determined by the op
+        # sequence), so whole homomorphic pipelines jit over Ciphertexts
+        return (self.c,), (self.scale, self.correction)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(c=list(children[0]), scale=aux[0], correction=aux[1])
 
     @property
     def level(self) -> int:
@@ -125,6 +138,7 @@ class CkksContext:
         self.pk = self.keygen.gen_public(self.sk, self.rng)
         self.rlk = self.keygen.gen_relin(self.sk, self.rng)
         self._galois: Dict[int, KeySwitchKey] = {}
+        self._jits: Dict = {}
 
     # -- keys ---------------------------------------------------------------
     def galois_key(self, g: int) -> KeySwitchKey:
@@ -187,59 +201,98 @@ class CkksContext:
                                self.params.moduli[:ct.level + 1])
         return decode(signed.astype(np.float64), self.params.n, ct.scale)
 
-    # -- evaluator ----------------------------------------------------------
-    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        assert abs(a.scale - b.scale) / a.scale < 1e-9 and a.level == b.level
+    # -- evaluator (raw impls; public wrappers below are jit-cached) --------
+    def _add_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         return Ciphertext(
             [poly_add(x, y, self.ctx) for x, y in zip(a.c, b.c)], a.scale)
 
-    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        assert a.level == b.level
+    def _sub_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         return Ciphertext(
             [poly_sub(x, y, self.ctx) for x, y in zip(a.c, b.c)], a.scale)
 
-    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        """Tensor product: (a0,a1)x(b0,b1) -> (d0, d1, d2), scales multiply."""
-        assert a.size == 2 and b.size == 2 and a.level == b.level
+    def _multiply_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         mul = lambda x, y: poly_mul_pointwise(x, y, self.ctx)
         d0 = mul(a.c[0], b.c[0])
         d1 = poly_add(mul(a.c[0], b.c[1]), mul(a.c[1], b.c[0]), self.ctx)
         d2 = mul(a.c[1], b.c[1])
         return Ciphertext([d0, d1, d2], a.scale * b.scale)
 
-    def relinearize(self, ct: Ciphertext) -> Ciphertext:
-        assert ct.size == 3
+    def _relinearize_impl(self, ct: Ciphertext, rlk) -> Ciphertext:
         d2_coeff = poly_intt(ct.c[2], self.ctx)
-        k0, k1 = keyswitch(d2_coeff.data, self.rlk, ct.level, self.ctx, self.L)
+        k0, k1 = keyswitch(d2_coeff.data, rlk, ct.level, self.ctx, self.L,
+                           t=self._ks_t)
         c0 = poly_add(ct.c[0], RnsPoly(k0, True), self.ctx)
         c1 = poly_add(ct.c[1], RnsPoly(k1, True), self.ctx)
         return Ciphertext([c0, c1], ct.scale)
 
-    def multiply_relin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        return self.relinearize(self.multiply(a, b))
-
-    def rescale(self, ct: Ciphertext) -> Ciphertext:
+    def _rescale_impl(self, ct: Ciphertext) -> Ciphertext:
         q_top = self.params.moduli[ct.level]
         return Ciphertext([rescale(p, self.ctx) for p in ct.c],
                           ct.scale / q_top)
 
-    def multiply_plain(self, ct: Ciphertext, pt: RnsPoly,
-                       pt_scale: float) -> Ciphertext:
+    def _multiply_plain_impl(self, ct: Ciphertext, pt: RnsPoly,
+                             pt_scale: float) -> Ciphertext:
         pt_ntt = poly_ntt(pt, self.ctx) if not pt.is_ntt else pt
         return Ciphertext(
             [poly_mul_pointwise(c, pt_ntt, self.ctx) for c in ct.c],
             ct.scale * pt_scale)
 
-    def apply_galois(self, ct: Ciphertext, g: int) -> Ciphertext:
-        """σ_g then keyswitch σ_g(s) -> s."""
-        assert ct.size == 2
+    def _apply_galois_impl(self, ct: Ciphertext, ksk, g: int) -> Ciphertext:
         c0g = poly_automorphism(ct.c[0], g, self.ctx)
         c1g = poly_automorphism(ct.c[1], g, self.ctx)
         c1_coeff = poly_intt(c1g, self.ctx)
-        k0, k1 = keyswitch(c1_coeff.data, self.galois_key(g), ct.level,
-                           self.ctx, self.L)
+        k0, k1 = keyswitch(c1_coeff.data, ksk, ct.level, self.ctx, self.L,
+                           t=self._ks_t)
         c0 = poly_add(c0g, RnsPoly(k0, True), self.ctx)
         return Ciphertext([c0, RnsPoly(k1, True)], ct.scale)
+
+    # -- public evaluator (cached jit per (op, shapes, static metadata)) ----
+    _ks_t = None      # BGV subclassing hook: plaintext modulus for keyswitch
+
+    def _jit(self, name, fn):
+        if name not in self._jits:
+            self._jits[name] = jax.jit(fn)
+        return self._jits[name]
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert abs(a.scale - b.scale) / a.scale < 1e-9 and a.level == b.level
+        return self._jit("add", self._add_impl)(a, b)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level
+        return self._jit("sub", self._sub_impl)(a, b)
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Tensor product: (a0,a1)x(b0,b1) -> (d0, d1, d2), scales multiply."""
+        assert a.size == 2 and b.size == 2 and a.level == b.level
+        return self._jit("multiply", self._multiply_impl)(a, b)
+
+    def relinearize(self, ct: Ciphertext) -> Ciphertext:
+        assert ct.size == 3
+        return self._jit("relinearize", self._relinearize_impl)(ct, self.rlk)
+
+    def multiply_relin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.size == 2 and b.size == 2 and a.level == b.level
+        return self._jit(
+            "multiply_relin",
+            lambda x, y, k: self._relinearize_impl(self._multiply_impl(x, y), k)
+        )(a, b, self.rlk)
+
+    def rescale(self, ct: Ciphertext) -> Ciphertext:
+        return self._jit("rescale", self._rescale_impl)(ct)
+
+    def multiply_plain(self, ct: Ciphertext, pt: RnsPoly,
+                       pt_scale: float) -> Ciphertext:
+        out = self._jit("multiply_plain",
+                        lambda c, p: self._multiply_plain_impl(c, p, 1.0))(ct, pt)
+        return Ciphertext(out.c, ct.scale * pt_scale, out.correction)
+
+    def apply_galois(self, ct: Ciphertext, g: int) -> Ciphertext:
+        """σ_g then keyswitch σ_g(s) -> s."""
+        assert ct.size == 2
+        ksk = self.galois_key(g)
+        return self._jit(("galois", g),
+                         lambda c, k: self._apply_galois_impl(c, k, g))(ct, ksk)
 
     def rotate(self, ct: Ciphertext, r: int) -> Ciphertext:
         """Rotate slots by r positions."""

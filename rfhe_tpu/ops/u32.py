@@ -191,3 +191,11 @@ def barrett_reduce64(x_hi: jnp.ndarray, x_lo: jnp.ndarray, q: int, mu: int, k: i
         c_lo = jnp.where(ge, c_lo - _u32(q), c_lo)
         c_hi = jnp.where(ge, c_hi - b, c_hi)
     return c_lo
+
+
+def popcount32(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-element bit population count (SWAR)."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (x * jnp.uint32(0x01010101)) >> 24
