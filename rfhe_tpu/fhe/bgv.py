@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import u32
-from ..ops.ntt import NttPlan, bit_reverse_indices, negacyclic_intt, negacyclic_ntt
+from ..ops.ntt_pease import (
+    PeaseNttPlan, negacyclic_intt, negacyclic_ntt, _galois_perm_nu)
 from .keys import (
     KeyGen, KeySwitchKey, PublicKey, SecretKey, keyswitch,
     _rns_from_signed, _sample_gaussian, _sample_ternary,
@@ -33,16 +34,29 @@ from .ckks import Ciphertext, rns_to_signed
 
 @lru_cache(maxsize=8)
 def _slot_map(n: int) -> np.ndarray:
-    """map[r, j] = device-NTT slot index holding matrix position (r, j)."""
-    rev = bit_reverse_indices(n)
-    inv_rev = np.empty(n, dtype=np.int64)
-    inv_rev[rev] = np.arange(n)
+    """map[r, j] = device-NTT slot index holding matrix position (r, j)
+    (slot p evaluates at ψ^(2ν(p)+1); ν from the Pease layout)."""
+    from rfhe_tpu.ops.ntt_pease import PeaseNttPlan
+    from rfhe_tpu import numth
+    # ν depends only on n: reuse the cached galois identity computation
+    from rfhe_tpu.ops.ntt import bit_reverse_indices
+    rho = np.arange(n, dtype=np.int64)
+    for s_ in range(n.bit_length() - 1):
+        half = (n >> s_) // 2
+        va = rho[: n // 2]
+        new_rho = np.empty_like(rho)
+        new_rho[0::2] = va
+        new_rho[1::2] = va + half
+        rho = new_rho
+    nu = bit_reverse_indices(n)[rho]
+    nu_inv = np.empty(n, dtype=np.int64)
+    nu_inv[nu] = np.arange(n)
     m = np.empty((2, n // 2), dtype=np.int64)
     for r in range(2):
         g = 1
         for j in range(n // 2):
             e = g if r == 0 else (2 * n - g)
-            m[r, j] = inv_rev[(e - 1) // 2]
+            m[r, j] = nu_inv[(e - 1) // 2]
             g = (g * 5) % (2 * n)
     return m
 
@@ -57,7 +71,7 @@ class BgvContext:
         self.ctx = RnsContext.make(n, tuple(params.moduli) + (sp,))
         self.L = params.L
         self.t = params.t
-        self.plan_t = NttPlan.make(n, params.t)
+        self.plan_t = PeaseNttPlan.make(n, [params.t])
         self.keygen = KeyGen(self.ctx, self.L, params.sigma)
         self.rng = np.random.default_rng(seed)
         self.sk = self.keygen.gen_secret(self.rng)
@@ -114,9 +128,10 @@ class BgvContext:
         m = _slot_map(n)
         slots[m.reshape(-1)] = np.asarray(matrix, dtype=np.uint64).reshape(-1) % self.t
         # to Montgomery domain (device slots are Montgomery), then INTT mod t
-        sl = u32.to_mont(jnp.asarray(slots), self.t,
-                         self.plan_t.ctx.qinv_neg, self.plan_t.ctx.r2)
-        coeffs_t = np.asarray(negacyclic_intt(sl, self.plan_t))  # [0, t)
+        from ..numth import montgomery_constants
+        _, qinv_t, r2_t = montgomery_constants(self.t, 32)
+        sl = u32.to_mont(jnp.asarray(slots)[None, :], self.t, qinv_t, r2_t)
+        coeffs_t = np.asarray(negacyclic_intt(sl, self.plan_t))[0]  # [0, t)
         lifted = np.stack([
             coeffs_t.astype(np.uint64) % q for q in self.params.moduli
         ]).astype(np.uint32)
@@ -124,8 +139,11 @@ class BgvContext:
 
     def decode(self, coeffs_t: np.ndarray) -> np.ndarray:
         """(n,) coefficients mod t -> (2, n/2) slot matrix."""
-        y = negacyclic_ntt(jnp.asarray(coeffs_t.astype(np.uint32)), self.plan_t)
-        y = np.asarray(u32.from_mont(y, self.t, self.plan_t.ctx.qinv_neg))
+        from ..numth import montgomery_constants
+        _, qinv_t, _ = montgomery_constants(self.t, 32)
+        y = negacyclic_ntt(jnp.asarray(coeffs_t.astype(np.uint32))[None, :],
+                           self.plan_t)
+        y = np.asarray(u32.from_mont(y, self.t, qinv_t))[0]
         m = _slot_map(self.params.n)
         return y[m]
 

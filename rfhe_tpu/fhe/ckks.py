@@ -136,9 +136,15 @@ class CkksContext:
         self.rng = np.random.default_rng(seed)
         self.sk = self.keygen.gen_secret(self.rng)
         self.pk = self.keygen.gen_public(self.sk, self.rng)
-        self.rlk = self.keygen.gen_relin(self.sk, self.rng)
+        self._rlk: Optional[KeySwitchKey] = None
         self._galois: Dict[int, KeySwitchKey] = {}
         self._jits: Dict = {}
+
+    @property
+    def rlk(self) -> KeySwitchKey:
+        if self._rlk is None:
+            self._rlk = self.keygen.gen_relin(self.sk, self.rng)
+        return self._rlk
 
     # -- keys ---------------------------------------------------------------
     def galois_key(self, g: int) -> KeySwitchKey:
@@ -168,7 +174,7 @@ class CkksContext:
         e1 = _sample_gaussian(self.rng, n, self.params.sigma)
         moduli = self.params.moduli[:lvl + 1]
         plan = self.ctx.plan.slice(lvl + 1)
-        from ..ops.ntt import negacyclic_ntt
+        from ..ops.ntt_pease import negacyclic_ntt
         u_ntt = negacyclic_ntt(jnp.asarray(_rns_from_signed(u, moduli)), plan)
         m0 = u32.add_mod(jnp.asarray(_rns_from_signed(e0, moduli)), pt.data,
                          plan.q_arr[:, None])

@@ -234,17 +234,5 @@ def _sum_digits(t: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def _basis_plan(ctx: RnsContext, lim: List[int]):
-    """Stacked plan restricted to an arbitrary subset of limbs."""
-    from ..ops.ntt import StackedNttPlan
-    idx = np.asarray(lim)
-    p = ctx.plan
-    take = lambda arr: arr[idx]
-    return StackedNttPlan(
-        n=ctx.n, q_arr=take(p.q_arr), qinv_arr=take(p.qinv_arr),
-        fwd_w=tuple(take(w) for w in p.fwd_w),
-        fwd_w_shoup=tuple(take(w) for w in p.fwd_w_shoup),
-        inv_w=tuple(take(w) for w in p.inv_w),
-        inv_w_shoup=tuple(take(w) for w in p.inv_w_shoup),
-        psi_mont=take(p.psi_mont), psi_mont_shoup=take(p.psi_mont_shoup),
-        psi_inv_n=take(p.psi_inv_n),
-    )
+    """Plan restricted to an arbitrary subset of limbs."""
+    return ctx.plan.take(lim)

@@ -23,7 +23,9 @@ import numpy as np
 
 from ..numth import barrett_constants, mod_inv, montgomery_constants, shoup_precompute
 from ..ops import u32
-from ..ops.ntt import StackedNttPlan, bit_reverse_indices, negacyclic_intt, negacyclic_ntt
+from ..ops import ntt_pease
+from ..ops.ntt import StackedNttPlan, bit_reverse_indices
+from ..ops.ntt_pease import PeaseNttPlan, negacyclic_intt, negacyclic_ntt
 
 
 @dataclass(frozen=True)
@@ -32,7 +34,7 @@ class RnsContext:
 
     n: int
     moduli: Tuple[int, ...]
-    plan: StackedNttPlan                     # full-chain stacked NTT tables
+    plan: PeaseNttPlan                       # full-chain stacked NTT tables
     # rescale tables, indexed by the level being dropped (limb k):
     #   qk_mod[k]    : (k,) uint32, q_k mod q_i for i < k
     #   qk_inv[k]    : (k,) uint32, q_k^{-1} mod q_i  (Shoup pair alongside)
@@ -46,7 +48,7 @@ class RnsContext:
     @classmethod
     def make(cls, n: int, moduli: Sequence[int]) -> "RnsContext":
         moduli = tuple(int(q) for q in moduli)
-        plan = StackedNttPlan.make(n, moduli)
+        plan = PeaseNttPlan.make(n, moduli)
         qk_mod, qk_inv, qk_inv_shoup = [], [], []
         for k in range(len(moduli)):
             qk = moduli[k]
@@ -72,11 +74,11 @@ class RnsContext:
     def q_arr(self, level: int) -> jnp.ndarray:
         return self.plan.q_arr[:level + 1]
 
-    def plan_at(self, level: int) -> StackedNttPlan:
+    def plan_at(self, level: int) -> PeaseNttPlan:
         return self.plan.slice(level + 1)
 
     def galois_perm(self, g: int) -> np.ndarray:
-        return _galois_perm(self.n, g)
+        return ntt_pease.galois_perm(self.plan, g)
 
 
 @lru_cache(maxsize=256)
@@ -179,20 +181,9 @@ def base_extend_digit(v: jnp.ndarray, j: int, level: int,
     return jnp.stack(out)
 
 
-def limb_plan(ctx: RnsContext, i: int) -> StackedNttPlan:
+def limb_plan(ctx: RnsContext, i: int) -> PeaseNttPlan:
     """Single-limb view of the stacked plan (for per-limb INTTs)."""
-    p = ctx.plan
-    return StackedNttPlan(
-        n=ctx.n,
-        q_arr=p.q_arr[i:i + 1], qinv_arr=p.qinv_arr[i:i + 1],
-        fwd_w=tuple(w[i:i + 1] for w in p.fwd_w),
-        fwd_w_shoup=tuple(w[i:i + 1] for w in p.fwd_w_shoup),
-        inv_w=tuple(w[i:i + 1] for w in p.inv_w),
-        inv_w_shoup=tuple(w[i:i + 1] for w in p.inv_w_shoup),
-        psi_mont=p.psi_mont[i:i + 1],
-        psi_mont_shoup=p.psi_mont_shoup[i:i + 1],
-        psi_inv_n=p.psi_inv_n[i:i + 1],
-    )
+    return ctx.plan.take([i])
 
 
 def lift_to_limbs(v: jnp.ndarray, src_k: int, dst: range,
