@@ -1,0 +1,267 @@
+"""Campaign sweep drivers (L5 CLI) — the reference's shell sweeps rebuilt as
+one CLI:
+
+  pbits          run_ntt_test.sh:1-23         3-stage collision prob vs prime bits
+  relia_ntt      ntt_test/test_reliaNTT.sh    protected 4-step NTT vs q-bits
+  barrett_fold   barret_modmul.py main        detection rate vs fold width/scheme
+  montgomery     montgomery.py main           detection rate vs fold width
+  barrett_final  barrett_final.py main        intra/range/sum miss vs s, model
+  ntt_err        run_bench_test.sh + gen_errorimpact.py  error propagation sweep
+  dotprod        run_dotprod_simu.sh          ciphertext-flip dotprod sweeps
+  rotation       draw_rotation workload       profiled rotation vs polydim
+
+Usage: python -m rfhe_tpu.bench.sweeps <name> [--trials N] [--out DIR] ...
+Outputs CSV files under --out (default results/).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+from pathlib import Path
+
+
+def _writer(out_dir: str, name: str):
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    path = os.path.join(out_dir, name)
+    f = open(path, "w", newline="")
+    return f, csv.writer(f), path
+
+
+def sweep_pbits(args) -> None:
+    from ..faults.campaign import three_stage_campaign, FAULT_TYPES
+    f, w, path = _writer(args.out, f"pbits_W{args.W}_N{args.N}_T{args.trials}.csv")
+    w.writerow(["ftype", "pbits", "stage", "injected", "undetected",
+                "collision_prob"])
+    for ftype in FAULT_TYPES:
+        for pbits in range(args.pbits_min, args.pbits_max + 1, args.pbits_step):
+            import random
+            from .. import numth
+            P = numth.find_prime_with_bitlen(pbits, random.Random(args.seed))
+            res = three_stage_campaign(ftype, args.trials,
+                                       S=int(args.N ** 0.5), P=P, W=args.W,
+                                       seed=args.seed)
+            for s in range(3):
+                w.writerow([ftype, pbits, s + 1, res["injected"][s],
+                            res["undetected"][s],
+                            f"{res['collision_prob'][s]:.6f}"])
+            print(f"[pbits] {ftype} pbits={pbits} "
+                  f"p={res['collision_prob']}", flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_relia_ntt(args) -> None:
+    from ..faults.campaign import four_step_ntt_campaign
+    from .. import numth
+    f, w, path = _writer(args.out, f"reliaNTT_N{args.N}_T{args.trials}.csv")
+    w.writerow(["qbits", "kind", "det_rate", "miss_rate",
+                "miss_stage1", "miss_stage2", "miss_stage3",
+                "intra_catch", "inter_catch", "batch_catch"])
+    for qbits in range(args.qbits_min, args.qbits_max + 1, args.qbits_step):
+        try:
+            q = numth.find_ntt_prime(args.N, qbits, negacyclic=False)
+        except ValueError:
+            continue
+        for kind in ("SBF", "DBF", "MOF1"):
+            res = four_step_ntt_campaign(kind, args.trials, args.N, q,
+                                         fold_width=args.fold, seed=args.seed)
+            w.writerow([qbits, kind, f"{res['det_rate']:.6f}",
+                        f"{res['miss_rate']:.6f}",
+                        *(f"{m:.6f}" for m in res["per_stage_miss"]),
+                        res["stats"]["intra_catch"], res["stats"]["inter_catch"],
+                        res["stats"]["batch_catch"]])
+            print(f"[relia_ntt] q={q} ({qbits}b) {kind} "
+                  f"miss={res['miss_rate']:.6f}", flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_barrett_fold(args) -> None:
+    from ..faults.reduction_campaigns import barrett_scheme_campaign
+    f, w, path = _writer(args.out, f"barrett_fold_T{args.trials}.csv")
+    w.writerow(["fold_width", "use_t", "use_sn", "use_final",
+                "detection_rate", "TP", "FP", "TN", "FN"])
+    schemes = [(True, False, False), (False, True, False), (False, False, True)]
+    for fw in range(2, 25, 2):
+        for sc in schemes:
+            res = barrett_scheme_campaign(
+                fw, sc, args.trials, pbits=37, vec_len=args.vec,
+                bits_per_elem=args.bits_per_elem, seed=args.seed)
+            w.writerow([fw, int(sc[0]), int(sc[1]), int(sc[2]),
+                        f"{res['detection_rate']:.4f}", res["TP"], res["FP"],
+                        res["TN"], res["FN"]])
+            print(f"[barrett] fw={fw} scheme={sc} rate={res['detection_rate']:.4f}",
+                  flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_montgomery(args) -> None:
+    from ..faults.reduction_campaigns import montgomery_campaign
+    f, w, path = _writer(args.out, f"montgomery_T{args.trials}.csv")
+    w.writerow(["fold_width", "use_m", "use_mp", "detection_rate"])
+    for fw in range(12, 25, 2):
+        for sc in [(True, False, True), (False, True, True), (True, True, True)]:
+            res = montgomery_campaign(fw, sc, args.trials, pbits=37,
+                                      vec_len=args.vec, seed=args.seed)
+            w.writerow([fw, int(sc[0]), int(sc[1]),
+                        f"{res['detection_rate']:.4f}"])
+            print(f"[mont] fw={fw} {sc} rate={res['detection_rate']:.4f}",
+                  flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_barrett_final(args) -> None:
+    from ..faults.reduction_campaigns import barrett_final_campaign
+    f, w, path = _writer(args.out, f"barrett_final_T{args.trials}.csv")
+    w.writerow(["s", "model", "protection", "miss_rate", "det_intra_only",
+                "det_sum_only", "det_both", "undetected"])
+    protections = {
+        "Intra": (True, False, False),
+        "Range": (False, True, False),
+        "Sum": (False, False, True),
+        "All": (True, True, True),
+    }
+    for s_bits in range(4, 11):
+        for model in (1, 2, 3, 4):
+            for pname, (ui, ur, us_) in protections.items():
+                res = barrett_final_campaign(
+                    s_bits, model, args.trials, vec_len=args.vec,
+                    use_intra=ui, use_range=ur, use_sum=us_, seed=args.seed)
+                w.writerow([s_bits, model, pname, f"{res['miss_rate']:.6f}",
+                            res["det_intra_only"], res["det_sum_only"],
+                            res["det_both"], res["undetected"]])
+        print(f"[barrett_final] s={s_bits} done", flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_ntt_err(args) -> None:
+    from .. import numth
+    from ..ops.ntt import StackedNttPlan
+    from ..faults.hardware import ntt_flip_campaign
+    n = 1 << args.log_dim
+    primes = numth.find_ntt_primes(n, 30, args.batch)
+    plan = StackedNttPlan.make(n, primes)
+    f, w, path = _writer(args.out, f"flipimpact_logN{args.log_dim}.csv")
+    w.writerow(["num_flips", "num_symbols", "bit_error_rate",
+                "symbol_error_rate", "hamming"])
+    for flips in range(1, args.max_flips + 1):
+        for syms in range(1, args.max_symbols + 1):
+            stats, info = ntt_flip_campaign(plan, batch=1, num_flips=flips,
+                                            num_target_symbols=syms,
+                                            seed=args.seed)
+            w.writerow([flips, syms, f"{stats.bit_error_rate:.6f}",
+                        f"{stats.symbol_error_rate:.6f}", stats.hamming_bits])
+        print(f"[ntt_err] flips={flips} done", flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_dotprod(args) -> None:
+    from ..fhe.params import BgvParams
+    from ..fhe.bgv import BgvContext
+    from ..faults.hardware import dotprod_fault_campaign
+    bgv = BgvContext(BgvParams.make(n=args.N, levels=2, q_bits=30, t_bits=16),
+                     seed=args.seed)
+    f, w, path = _writer(args.out, f"dotprod_N{args.N}.csv")
+    w.writerow(["bits_per_symbol", "num_symbols", "symbol_errors",
+                "total_symbols", "bit_errors", "dot_hamming"])
+    for bits in range(1, args.max_bits + 1):
+        res = dotprod_fault_campaign(bgv, bits, 1, seed=args.seed)
+        w.writerow([bits, 1, res["symbol_errors"], res["total_symbols"],
+                    res["bit_errors"], res["dot_hamming"]])
+        print(f"[dotprod] bits={bits} syms=1 symerr={res['symbol_errors']}",
+              flush=True)
+    for syms in range(2, args.max_symbols + 1):
+        res = dotprod_fault_campaign(bgv, 1, syms, seed=args.seed)
+        w.writerow([1, syms, res["symbol_errors"], res["total_symbols"],
+                    res["bit_errors"], res["dot_hamming"]])
+        print(f"[dotprod] bits=1 syms={syms} symerr={res['symbol_errors']}",
+              flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_rotation(args) -> None:
+    import numpy as np
+    from ..fhe import CkksContext, CkksParams
+    from ..trace import ProfiledRotation, TraceCollector
+    f, w, path = _writer(args.out, "rotation_profile.csv")
+    w.writerow(["n", "levels", "total_us", "NTT", "ModMul", "BaseConv",
+                "Others"])
+    for logn in range(args.logn_min, args.logn_max + 1):
+        n = 1 << logn
+        ckks = CkksContext(CkksParams.make(
+            n=n, levels=args.levels, q0_bits=30, scale_bits=26),
+            seed=args.seed)
+        rng = np.random.default_rng(0)
+        z = rng.uniform(-1, 1, n // 2) + 0j
+        ct = ckks.encrypt(*ckks.encode(z))
+        prof = ProfiledRotation(ckks)
+        prof.rotate(ct, 1)                      # compile
+        best = None
+        for _ in range(args.reps):
+            prof.rotate(ct, 1)
+            bd = prof.breakdown()
+            if best is None or bd["total_us"] < best["total_us"]:
+                best = bd
+        w.writerow([n, args.levels, f"{best['total_us']:.1f}",
+                    f"{best['NTT']:.4f}", f"{best['ModMul']:.4f}",
+                    f"{best['BaseConv']:.4f}", f"{best['Others']:.4f}"])
+        print(f"[rotation] n={n}: {best['total_us']:.0f}us "
+              f"NTT={best['NTT']:.2f}", flush=True)
+    f.close()
+    print("wrote", path)
+
+
+SWEEPS = {
+    "pbits": sweep_pbits,
+    "relia_ntt": sweep_relia_ntt,
+    "barrett_fold": sweep_barrett_fold,
+    "montgomery": sweep_montgomery,
+    "barrett_final": sweep_barrett_final,
+    "ntt_err": sweep_ntt_err,
+    "dotprod": sweep_dotprod,
+    "rotation": sweep_rotation,
+}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="rfhe_tpu campaign sweeps")
+    ap.add_argument("name", choices=sorted(SWEEPS))
+    ap.add_argument("--trials", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", type=str, default="results")
+    ap.add_argument("--N", type=int, default=64)
+    ap.add_argument("--W", type=int, default=24)
+    ap.add_argument("--fold", type=int, default=24)
+    ap.add_argument("--vec", type=int, default=1024)
+    ap.add_argument("--bits-per-elem", type=int, default=1)
+    ap.add_argument("--pbits-min", type=int, default=2)
+    ap.add_argument("--pbits-max", type=int, default=30)
+    ap.add_argument("--pbits-step", type=int, default=2)
+    ap.add_argument("--qbits-min", type=int, default=10)
+    ap.add_argument("--qbits-max", type=int, default=30)
+    ap.add_argument("--qbits-step", type=int, default=2)
+    ap.add_argument("--log-dim", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--max-flips", type=int, default=8)
+    ap.add_argument("--max-symbols", type=int, default=4)
+    ap.add_argument("--max-bits", type=int, default=8)
+    ap.add_argument("--logn-min", type=int, default=8)
+    ap.add_argument("--logn-max", type=int, default=12)
+    ap.add_argument("--levels", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args(argv)
+    t0 = time.time()
+    SWEEPS[args.name](args)
+    print(f"[{args.name}] done in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,2 @@
-"""(populated incrementally)"""
+"""L7: figure pipeline regenerating the reference's paper-figure families
+from our own measured campaign outputs."""

@@ -1,0 +1,201 @@
+"""Figure pipeline (L7): regenerate the reference's paper-figure families
+from OUR campaign/sweep outputs (CSV files written by rfhe_tpu.bench.sweeps).
+
+  rotation      eva_4/eva_5-class: rotation latency + cost breakdown vs polydim
+                (profile_framewk/draw_rotation.py)
+  barrett       eva_2-class: Barrett detection rate vs fold width per scheme
+                (rfhe_framewk/src/draw_barrett.py)
+  ntt_reliability  eva_8-class: 3-stage collision prob vs prime bits
+                (profile_framewk/draw_ntt_reliability.py)
+  relia_ntt     protected 4-step NTT miss rates vs q-bits
+                (rfhe_framewk/src/ntt_test/draw_non_4step_ntt.py family)
+  err_scatter   bit-error rate vs #flips/#symbols
+                (reliability_test/draw_scripts/draw_err_scatter.py)
+  evaluator     eva-class evaluator failure rate vs raw HW error rate
+                (rfhe_framewk/src/draw_evaluator_reliability.py) — model curve
+                P_fail = 1-(1-eps)^n_ops (baseline) vs that times the measured
+                detector miss rate (protected)
+
+Usage: python -m rfhe_tpu.figures.draw <name> [--data results/...csv] [--out figures_out]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import math
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from .common import PALETTE, new_fig, save
+
+
+def _read(path):
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def fig_rotation(args):
+    rows = _read(args.data or "results/rotation_profile.csv")
+    ns = [int(r["n"]) for r in rows]
+    total = [float(r["total_us"]) for r in rows]
+    cats = ["NTT", "ModMul", "BaseConv", "Others"]
+    fig, ax = new_fig()
+    bottom = np.zeros(len(ns))
+    for ci, c in enumerate(cats):
+        frac = np.array([float(r[c]) for r in rows]) * np.array(total)
+        ax.bar([str(n) for n in ns], frac, bottom=bottom, color=PALETTE[ci],
+               label=c, width=0.6)
+        bottom += frac
+    ax.set_xlabel("polynomial degree N")
+    ax.set_ylabel("rotation cost (µs)")
+    ax.set_title("CKKS rotation cost breakdown (TPU, measured)")
+    ax.legend()
+    print(save(fig, args.out, "rotation_breakdown.png"))
+    fig, ax = new_fig()
+    ax.plot([str(n) for n in ns], total, marker="o", color=PALETTE[0])
+    ax.set_yscale("log")
+    ax.set_xlabel("polynomial degree N")
+    ax.set_ylabel("rotation latency (µs, log)")
+    ax.set_title("CKKS rotation latency vs polydim (TPU)")
+    print(save(fig, args.out, "rotation_latency.png"))
+
+
+def fig_barrett(args):
+    rows = _read(args.data or "results/barrett_fold_T1000.csv")
+    schemes = {"T-check": ("1", "0", "0"), "SN-check": ("0", "1", "0"),
+               "Final-range": ("0", "0", "1")}
+    fig, ax = new_fig()
+    for ci, (name, key) in enumerate(schemes.items()):
+        pts = [(int(r["fold_width"]), float(r["detection_rate"]))
+               for r in rows
+               if (r["use_t"], r["use_sn"], r["use_final"]) == key]
+        pts.sort()
+        if pts:
+            ax.plot([p[0] for p in pts], [p[1] for p in pts], marker="o",
+                    color=PALETTE[ci], label=name)
+    ax.set_xlabel("fold width (bits)")
+    ax.set_ylabel("detection rate  TP/(TP+FN)")
+    ax.set_ylim(0, 1.05)
+    ax.set_title("Barrett detector schemes vs fold width (measured)")
+    ax.legend()
+    print(save(fig, args.out, "barrett_detection.png"))
+
+
+def fig_ntt_reliability(args):
+    rows = _read(args.data or "results/pbits_W24_N64_T1000.csv")
+    by_type = defaultdict(list)
+    for r in rows:
+        worst = max(float(r["collision_prob"]), 1e-7)
+        by_type[(r["ftype"], int(r["stage"]))].append((int(r["pbits"]), worst))
+    fig, ax = new_fig()
+    ci = 0
+    for ftype in ("SCF-BF", "MCF-CLE"):
+        for stage in (1, 2, 3):
+            pts = sorted(by_type.get((ftype, stage), []))
+            if pts:
+                ax.plot([p[0] for p in pts], [p[1] for p in pts], marker="o",
+                        color=PALETTE[ci % len(PALETTE)],
+                        label=f"{ftype} stage{stage}")
+                ci += 1
+    ax.set_yscale("log")
+    ax.set_xlabel("prime modulus bits")
+    ax.set_ylabel("collision probability (log)")
+    ax.set_title("3-stage pipeline collision probability vs prime bits")
+    ax.legend(fontsize=8)
+    print(save(fig, args.out, "ntt_reliability.png"))
+
+
+def fig_relia_ntt(args):
+    rows = _read(args.data or "results/reliaNTT_N64_T1000.csv")
+    fig, ax = new_fig()
+    for ci, kind in enumerate(("SBF", "DBF", "MOF1")):
+        pts = [(int(r["qbits"]), max(float(r["miss_rate"]), 1e-7))
+               for r in rows if r["kind"] == kind]
+        pts.sort()
+        if pts:
+            ax.plot([p[0] for p in pts], [p[1] for p in pts], marker="o",
+                    color=PALETTE[ci], label=kind)
+    ax.set_yscale("log")
+    ax.set_xlabel("q bits")
+    ax.set_ylabel("miss rate (log)")
+    ax.set_title("Protected four-step NTT miss rate vs modulus width")
+    ax.legend()
+    print(save(fig, args.out, "relia_ntt_miss.png"))
+
+
+def fig_err_scatter(args):
+    rows = _read(args.data or "results/flipimpact_logN12.csv")
+    fig, ax = new_fig()
+    one_sym = sorted((int(r["num_flips"]), float(r["bit_error_rate"]))
+                     for r in rows if r["num_symbols"] == "1")
+    ax.plot([p[0] for p in one_sym], [p[1] for p in one_sym], marker="o",
+            color=PALETTE[0], label="1 symbol, k flips")
+    one_flip = sorted((int(r["num_symbols"]), float(r["bit_error_rate"]))
+                      for r in rows if r["num_flips"] == "1")
+    ax.plot([p[0] for p in one_flip], [p[1] for p in one_flip], marker="s",
+            color=PALETTE[1], label="k symbols, 1 flip")
+    ax.set_xlabel("k")
+    ax.set_ylabel("output bit-error rate")
+    ax.set_title("NTT error propagation (injected faults, measured on TPU)")
+    ax.legend()
+    print(save(fig, args.out, "err_scatter.png"))
+
+
+def fig_evaluator(args):
+    """Model figure: evaluator failure rate vs raw hardware error rate.
+    n_ops = modmul count per evaluator op; protected curve multiplies by the
+    detector miss rate (draw_evaluator_reliability.py semantics)."""
+    n, L, dnum = 32768, 21, 21
+    ops = {
+        "Rotation": n * L * dnum * 3,          # keyswitch NTT butterflies order
+        "HMul-BFV": n * L * 8,
+        "HMul-CKKS": n * L * 6,
+    }
+    miss = args.miss_rate
+    eps = np.logspace(-14, -8, 40)
+    fig, ax = new_fig()
+    for ci, (name, nops) in enumerate(ops.items()):
+        base = 1 - (1 - eps) ** nops
+        ax.plot(eps, base, color=PALETTE[ci], label=f"{name} baseline")
+        ax.plot(eps, base * miss, color=PALETTE[ci], linestyle="--",
+                label=f"{name} protected")
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("raw hardware error rate")
+    ax.set_ylabel("evaluator failure rate")
+    ax.set_title(f"Evaluator failure vs HW error rate (miss={miss:g})")
+    ax.legend(fontsize=7)
+    print(save(fig, args.out, "evaluator_reliability.png"))
+
+
+FIGS = {
+    "rotation": fig_rotation,
+    "barrett": fig_barrett,
+    "ntt_reliability": fig_ntt_reliability,
+    "relia_ntt": fig_relia_ntt,
+    "err_scatter": fig_err_scatter,
+    "evaluator": fig_evaluator,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("name", choices=sorted(FIGS) + ["all"])
+    ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--out", type=str, default="figures_out")
+    ap.add_argument("--miss-rate", type=float, default=2e-7)
+    args = ap.parse_args(argv)
+    if args.name == "all":
+        for name, fn in FIGS.items():
+            try:
+                fn(args)
+            except FileNotFoundError as e:
+                print(f"[skip {name}] missing data: {e}")
+    else:
+        FIGS[args.name](args)
+
+
+if __name__ == "__main__":
+    main()
