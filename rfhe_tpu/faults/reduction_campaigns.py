@@ -325,3 +325,80 @@ def barrett_final_campaign(s_bits: int, fault_model: int, trials: int,
         "undetected": int((~detected).sum()),
         "Q": Q,
     }
+
+
+# ---------------------------------------------------------------------------
+# outer_check-style campaign: intra vs inter folds, 8 fault modes
+# (barrett_test/outer_check.py:14-125)
+# ---------------------------------------------------------------------------
+
+OUTER_MODES = ("SBF", "DBF", "SBF+SBF", "SBF+DBF", "MOF1", "MOF2",
+               "MOF+SBF", "MOF+DBF")
+
+
+def outer_check_campaign(fold_k: int, mode: str, trials: int,
+                         qbits: int = 37, vec_len: int = 4096,
+                         word_bits: int = 64, seed: int = 4) -> Dict:
+    """Products modeled as uniform word_bits-wide values; faults act on the
+    low qbits.  Detectors over M = 2^k + 1 (alternating fold):
+      intra: any per-element fold(c'_i) != fold(c_i)
+      inter: Σ fold(c'_i) != Σ fold(c_i)  (mod M)
+    Returns miss rates for intra-only, inter-only, and combined."""
+    assert mode in OUTER_MODES
+    Lw = _limbs(word_bits)
+    M = (1 << fold_k) + 1
+
+    def flip1(key, c, idx):
+        b = jax.random.randint(key, (), 0, qbits, dtype=jnp.uint32)
+        return c.at[idx].set(bigint.xor_bit(c[idx], b))
+
+    def flip2(key, c, idx):
+        k1, k2 = jax.random.split(key)
+        b1 = jax.random.randint(k1, (), 0, qbits, dtype=jnp.uint32)
+        b2 = jax.random.randint(k2, (), 0, qbits - 1, dtype=jnp.uint32)
+        b2 = b2 + (b2 >= b1).astype(jnp.uint32)
+        v = bigint.xor_bit(bigint.xor_bit(c[idx], b1), b2)
+        return c.at[idx].set(v)
+
+    def randomize(key, c, idx):
+        rnd = jax.random.bits(key, (Lw,), dtype=jnp.uint32)
+        rnd = bigint.mask_to_bits(rnd, jnp.uint32(qbits))
+        hi_keep = bigint.mask_to_bits(c[idx], jnp.uint32(qbits))
+        new = c[idx] ^ hi_keep ^ rnd       # replace low qbits, keep high bits
+        return c.at[idx].set(new)
+
+    ops = {
+        "SBF": [flip1], "DBF": [flip2], "SBF+SBF": [flip1, flip1],
+        "SBF+DBF": [flip1, flip2], "MOF1": [randomize],
+        "MOF2": [randomize, randomize], "MOF+SBF": [randomize, flip1],
+        "MOF+DBF": [randomize, flip2],
+    }[mode]
+
+    def trial(key):
+        ks = jax.random.split(key, 2 + len(ops))
+        c = jax.random.bits(ks[0], (vec_len, Lw), dtype=jnp.uint32)
+        base_folds = bigint.fold_2s1(c, fold_k)
+        base_sum = sum_mod(base_folds, M)
+        idx = jax.random.choice(ks[1], vec_len, shape=(len(ops),),
+                                replace=False)
+        cf = c
+        for oi, op in enumerate(ops):
+            cf = op(ks[2 + oi], cf, idx[oi])
+        folds = bigint.fold_2s1(cf, fold_k)
+        intra = jnp.any(folds != base_folds)
+        inter = sum_mod(folds, M) != base_sum
+        harmful = jnp.any(cf != c)
+        return harmful, intra, inter
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), trials)
+    harmful, intra, inter = jax.jit(jax.vmap(trial))(keys)
+    harmful = np.asarray(harmful)
+    intra = np.asarray(intra)
+    inter = np.asarray(inter)
+    nh = max(1, int(harmful.sum()))
+    return {
+        "miss_intra": float((harmful & ~intra).sum() / nh),
+        "miss_inter": float((harmful & ~inter).sum() / nh),
+        "miss_both": float((harmful & ~intra & ~inter).sum() / nh),
+        "harmful": int(harmful.sum()),
+    }
