@@ -1,0 +1,418 @@
+// Native Monte-Carlo engine (C++17 + OpenMP) for host-side fault campaigns.
+//
+// Role: the reference ships OpenMP twins of its Python simulators for
+// high-trial-count runs (rfhe_framewk/src/four_step_ntt_protected.cpp,
+// ntt_test/relia_ntt_sim.cpp).  This library plays that role for the TPU
+// framework: exact op-granularity semantics (butterfly-level injection
+// inside radix-2 NTT stages) that the vectorized JAX campaigns model at
+// stage level, plus a fast 3-stage pipeline MC.  Exposed via C ABI for
+// ctypes (rfhe_tpu/native.py).
+//
+// Fresh implementation; semantics cross-checked against the golden Python
+// oracle through the test suite.
+
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+using u64 = std::uint64_t;
+using u128 = unsigned __int128;
+
+namespace {
+
+u64 pow_mod(u64 a, u64 e, u64 q) {
+  u128 r = 1, b = a % q;
+  while (e) {
+    if (e & 1) r = (r * b) % q;
+    b = (b * b) % q;
+    e >>= 1;
+  }
+  return (u64)r;
+}
+
+struct Rng {
+  std::mt19937_64 g;
+  explicit Rng(u64 seed) : g(seed) {}
+  u64 below(u64 n) { return std::uniform_int_distribution<u64>(0, n - 1)(g); }
+  double uniform() { return std::uniform_real_distribution<double>(0, 1)(g); }
+};
+
+// per-thread derived seed (same convention as the reference's OpenMP twins)
+u64 thread_seed(u64 seed, int tid) {
+  return seed ^ (0x9E3779B97F4A7C15ULL * (u64)(tid + 1));
+}
+
+// ---------------------------------------------------------------------------
+// radix-2 in-place NTT with op-indexed injection (butterfly-mult ops)
+// ---------------------------------------------------------------------------
+
+struct Inject {
+  long long op = -1;  // which butterfly/twiddle mult to corrupt
+  int kind = 0;       // 0 SBF, 1 DBF, 2 MOF1
+};
+
+u64 inject_val(u64 v, int kind, u64 q, Rng &rng) {
+  int bits = 64 - __builtin_clzll(q);
+  switch (kind) {
+    case 0:
+      return (v ^ (1ULL << rng.below(bits))) % q;
+    case 1: {
+      u64 m = (1ULL << rng.below(bits)) | (1ULL << rng.below(bits));
+      return (v ^ m) % q;
+    }
+    default:
+      return rng.below(q);
+  }
+}
+
+// natural-order DIF-free iterative CT NTT (bit-reverse + butterflies),
+// matching the oracle (rfhe_tpu/oracle/ntt.py) and relia_ntt_sim.py:98-136
+long long ntt_inplace(std::vector<u64> &A, u64 root, u64 q,
+                      const Inject &inj, long long op_idx, Rng &rng,
+                      bool *injected_hit) {
+  const size_t n = A.size();
+  // bit-reverse permutation
+  size_t j = 0;
+  for (size_t i = 1; i < n; ++i) {
+    size_t bit = n >> 1;
+    while (j & bit) { j ^= bit; bit >>= 1; }
+    j ^= bit;
+    if (i < j) std::swap(A[i], A[j]);
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    u64 wlen = pow_mod(root, n / len, q);
+    size_t half = len / 2;
+    for (size_t i = 0; i < n; i += len) {
+      u64 w = 1;
+      for (size_t k = i; k < i + half; ++k) {
+        u64 u = A[k];
+        u64 v = (u64)(((u128)A[k + half] * w) % q);
+        if (op_idx == inj.op) {
+          v = inject_val(v, inj.kind, q, rng);
+          if (injected_hit) *injected_hit = true;
+        }
+        ++op_idx;
+        A[k] = (u + v) % q;
+        A[k + half] = (u + q - v) % q;
+        w = (u64)(((u128)w * wlen) % q);
+      }
+    }
+  }
+  return op_idx;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Protected four-step NTT campaign at BUTTERFLY granularity
+// (relia_ntt_sim.py:223-315 semantics: 4 detectors, op-indexed single fault)
+// out[0..4] = detected, intra_catch, inter_catch, batch_catch, trials_run
+// ---------------------------------------------------------------------------
+void four_step_mc(long long trials, long long N, u64 q, u64 g_root,
+                  int fold_width, int kind, u64 seed, long long *out) {
+  long long n1 = 1;
+  while (n1 * n1 < N) n1 <<= 1;
+  if (n1 * n1 != N) n1 >>= 1;
+  long long n2 = N / n1;
+  const u64 wN = pow_mod(g_root, (q - 1) / (u64)N, q);
+  const u64 w_n1 = pow_mod(wN, (u64)n1, q);  // order n2
+  const u64 w_n2 = pow_mod(wN, (u64)n2, q);  // order n1
+  const u64 FOLD = (1ULL << fold_width) + 1;
+
+  // dry run to count ops: per column n2/2*log2(n2), twiddle n1*n2, rows...
+  long long s1 = 0, tw = n1 * n2, s2 = 0;
+  for (long long m = 2; m <= n2; m <<= 1) s1 += n2 / 2;
+  s1 *= n1;
+  for (long long m = 2; m <= n1; m <<= 1) s2 += n1 / 2;
+  s2 *= n2;
+  const long long total_ops = s1 + tw + s2;
+
+  long long detected = 0, intra_c = 0, inter_c = 0, batch_c = 0;
+
+#ifdef _OPENMP
+#pragma omp parallel reduction(+ : detected, intra_c, inter_c, batch_c)
+#endif
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+    int nthreads = omp_get_num_threads();
+#else
+    int tid = 0, nthreads = 1;
+#endif
+    Rng rng(thread_seed(seed, tid));
+#ifdef _OPENMP
+#pragma omp for
+#endif
+    for (long long t = 0; t < trials; ++t) {
+      Inject inj;
+      inj.op = (long long)rng.below((u64)total_ops);
+      inj.kind = kind;
+      // data: A[r][c] with a[c*n2 + r] layout (relia_ntt_sim.py:232-233)
+      std::vector<std::vector<u64>> A((size_t)n2,
+                                      std::vector<u64>((size_t)n1));
+      for (auto &row : A)
+        for (auto &v : row) v = rng.below(q);
+      auto Ain = A;
+      long long op = 0;
+      // stage 1: column NTTs (root of order n2)
+      for (long long c = 0; c < n1; ++c) {
+        std::vector<u64> col((size_t)n2);
+        for (long long r = 0; r < n2; ++r) col[(size_t)r] = A[(size_t)r][(size_t)c];
+        op = ntt_inplace(col, w_n1, q, inj, op, rng, nullptr);
+        for (long long r = 0; r < n2; ++r) A[(size_t)r][(size_t)c] = col[(size_t)r];
+      }
+      // batch-1 projection: <NTT(w), rowsums(in)> == <w, rowsums(out)>
+      auto proj_ok = [&](const std::vector<std::vector<u64>> &in,
+                         const std::vector<std::vector<u64>> &outm, u64 root,
+                         bool cols) {
+        size_t len = cols ? (size_t)n2 : (size_t)n1;
+        std::vector<u64> sin(len, 0), sout(len, 0), w(len);
+        if (cols) {
+          for (size_t r = 0; r < (size_t)n2; ++r)
+            for (size_t c = 0; c < (size_t)n1; ++c) {
+              sin[r] = (sin[r] + in[r][c]) % q;
+              sout[r] = (sout[r] + outm[r][c]) % q;
+            }
+        } else {
+          for (size_t r = 0; r < (size_t)n2; ++r)
+            for (size_t c = 0; c < (size_t)n1; ++c) {
+              sin[c] = (sin[c] + in[r][c]) % q;
+              sout[c] = (sout[c] + outm[r][c]) % q;
+            }
+        }
+        for (auto &x : w) x = rng.below(q);
+        auto what = w;
+        Inject none;
+        ntt_inplace(what, root, q, none, 0, rng, nullptr);
+        u128 lhs = 0, rhs = 0;
+        for (size_t i = 0; i < len; ++i) {
+          lhs = (lhs + (u128)what[i] * sin[i]) % q;
+          rhs = (rhs + (u128)w[i] * sout[i]) % q;
+        }
+        return lhs == rhs;
+      };
+      bool ok_b1 = proj_ok(Ain, A, w_n1, true);
+      // twiddle stage with intra collision model (fold mod 2^W+1)
+      bool intra = false;
+      auto Bbefore = A;
+      for (long long r = 0; r < n2; ++r) {
+        u64 wr = pow_mod(wN, (u64)r, q);
+        u64 val = 1;
+        for (long long c = 0; c < n1; ++c) {
+          u64 vt = (u64)(((u128)A[(size_t)r][(size_t)c] * val) % q);
+          u64 v = vt;
+          if (op == inj.op) v = inject_val(v, inj.kind, q, rng);
+          ++op;
+          if (v != vt && (v % FOLD) != (vt % FOLD)) intra = true;
+          A[(size_t)r][(size_t)c] = v;
+          val = (u64)(((u128)val * wr) % q);
+        }
+      }
+      // inter: <phi, rowsums(after)> == <phi, rowsums(T .* before)>
+      bool inter_ok = true;
+      {
+        std::vector<u64> phi((size_t)n2);
+        for (auto &x : phi) x = rng.below(q);
+        u128 lhs = 0, rhs = 0;
+        for (long long r = 0; r < n2; ++r) {
+          u64 wr = pow_mod(wN, (u64)r, q);
+          u64 val = 1;
+          u64 sa = 0, sb = 0;
+          for (long long c = 0; c < n1; ++c) {
+            sa = (sa + A[(size_t)r][(size_t)c]) % q;
+            sb = (sb + (u64)(((u128)Bbefore[(size_t)r][(size_t)c] * val) % q)) % q;
+            val = (u64)(((u128)val * wr) % q);
+          }
+          lhs = (lhs + (u128)phi[(size_t)r] * sa) % q;
+          rhs = (rhs + (u128)phi[(size_t)r] * sb) % q;
+        }
+        inter_ok = lhs == rhs;
+      }
+      // stage 2: row NTTs (root of order n1)
+      auto Bin = A;
+      for (long long r = 0; r < n2; ++r)
+        op = ntt_inplace(A[(size_t)r], w_n2, q, inj, op, rng, nullptr);
+      bool ok_b2 = proj_ok(Bin, A, w_n2, false);
+      bool det = !ok_b1 || intra || !inter_ok || !ok_b2;
+      if (det) {
+        ++detected;
+        if (intra) ++intra_c;
+        else if (!inter_ok) ++inter_c;
+        else ++batch_c;
+      }
+    }
+  }
+  out[0] = detected;
+  out[1] = intra_c;
+  out[2] = inter_c;
+  out[3] = batch_c;
+  out[4] = trials;
+}
+
+// ---------------------------------------------------------------------------
+// 3-stage pipeline MC (four_step_ntt_protected.py:219-297 semantics)
+// ftype: 0 SCF-BF, 1 SCF-MBU, 2 MCF-PPE, 3 MCF-CTE, 4 MCF-CLE
+// out[0..2] injected per stage, out[3..5] undetected per stage
+// ---------------------------------------------------------------------------
+void three_stage_mc(long long trials, long long S, u64 P, int W, int ftype,
+                    u64 seed, long long *out) {
+  const u64 M = (1ULL << W) - 1;
+  const int pbits = 64 - __builtin_clzll(P);
+  long long inj[3] = {0, 0, 0}, und[3] = {0, 0, 0};
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    Rng rng(thread_seed(seed, tid));
+    long long linj[3] = {0, 0, 0}, lund[3] = {0, 0, 0};
+#ifdef _OPENMP
+#pragma omp for
+#endif
+    for (long long t = 0; t < trials; ++t) {
+      const size_t n = (size_t)S;
+      auto randmat = [&](std::vector<u64> &m, u64 hi) {
+        for (auto &v : m) v = rng.below(hi);
+      };
+      std::vector<u64> A1(n * n), B1(n * n), C1(n * n), A2(n * n), B2(n * n),
+          C3(n * n);
+      randmat(A1, P);
+      randmat(B1, P);
+      auto matmul = [&](const std::vector<u64> &a, const std::vector<u64> &b,
+                        std::vector<u64> &c) {
+        for (size_t i = 0; i < n; ++i)
+          for (size_t j = 0; j < n; ++j) {
+            u128 acc = 0;
+            for (size_t k = 0; k < n; ++k)
+              acc += (u128)a[i * n + k] * b[k * n + j];
+            c[i * n + j] = (u64)(acc % P);
+          }
+      };
+      matmul(A1, B1, C1);
+      std::vector<u64> X(n * n), T(n * n), Y(n * n);
+      for (size_t i = 0; i < n * n; ++i) X[i] = C1[i] % M;
+      randmat(T, M);
+      for (size_t i = 0; i < n * n; ++i)
+        Y[i] = (u64)(((u128)X[i] * T[i]) % M);
+      for (size_t i = 0; i < n * n; ++i) B2[i] = Y[i] % P;
+      randmat(A2, P);
+      matmul(A2, B2, C3);
+
+      int stage = (int)rng.below(3) + 1;
+      auto corrupt_elem = [&](std::vector<u64> &m, u64 mod, int bw) {
+        size_t idx = (size_t)rng.below(m.size());
+        switch (ftype) {
+          case 0:  // SCF-BF
+          case 2:  // MCF-PPE
+            m[idx] = (m[idx] ^ (1ULL << rng.below((u64)bw))) % mod;
+            break;
+          case 1: {  // SCF-MBU
+            int K = bw >= 4 ? (int)(2 + rng.below(3)) : 2;
+            int start = (int)rng.below((u64)std::max(1, bw - K + 1));
+            m[idx] = (m[idx] ^ (((1ULL << K) - 1) << start)) % mod;
+            break;
+          }
+          case 3: {  // MCF-CTE: high-bit biased
+            int lo = std::max(1, bw / 2);
+            m[idx] = (m[idx] ^ (1ULL << (lo + rng.below((u64)(bw - lo))))) % mod;
+            break;
+          }
+          default:
+            m[idx] = rng.below(mod);
+        }
+      };
+      auto cle_matrix = [&](const std::vector<u64> &a,
+                            const std::vector<u64> &b, std::vector<u64> &c) {
+        size_t i = (size_t)rng.below(n), k0 = (size_t)rng.below(n);
+        u64 mfac = 1 + rng.below(2);
+        bool pos = rng.below(2) == 0;
+        for (size_t jj = 0; jj < n; ++jj) {
+          u64 d = (u64)(((u128)a[i * n + k0] * b[k0 * n + jj] % P) * mfac % P);
+          c[i * n + jj] = pos ? (c[i * n + jj] + d) % P
+                              : (c[i * n + jj] + P - d) % P;
+        }
+      };
+      auto cle_vector = [&](std::vector<u64> &y) {
+        size_t idx = (size_t)rng.below(n * n);
+        u64 wrong = (u64)(((u128)X[idx] * T[idx]) % M);
+        u64 ks[3] = {M - 1, 2, M - 2};
+        y[idx] = (u64)(((u128)ks[rng.below(3)] * wrong) % M);
+      };
+      auto matcheck = [&](const std::vector<u64> &a, const std::vector<u64> &b,
+                          const std::vector<u64> &c) {
+        std::vector<u64> col(n, 0), row(n, 0);
+        for (size_t i = 0; i < n; ++i)
+          for (size_t k = 0; k < n; ++k) {
+            col[k] = (col[k] + a[i * n + k]) % P;
+            row[i] = (row[i] + b[i * n + k]) % P;
+          }
+        u128 lhs = 0, rhs = 0;
+        for (size_t k = 0; k < n; ++k) lhs = (lhs + (u128)col[k] * row[k]) % P;
+        for (auto v : c) rhs = (rhs + v) % P;
+        return lhs == rhs;
+      };
+      auto fold = [&](u128 x) {
+        u64 s = 0;
+        while (x) {
+          s += (u64)(x & M);
+          x >>= W;
+        }
+        return s % M;
+      };
+      auto foldcheck = [&](const std::vector<u64> &y) {
+        u64 sin = 0, sout = 0;
+        for (size_t i = 0; i < n * n; ++i) {
+          sin = (sin + (u64)(((u128)fold(X[i]) * fold(T[i])) % M)) % M;
+          sout = (sout + fold(y[i])) % M;
+        }
+        return sin == sout;
+      };
+      bool det = false;
+      if (stage == 1) {
+        auto C1f = C1;
+        if (ftype == 4) cle_matrix(A1, B1, C1f);
+        else corrupt_elem(C1f, P, pbits);
+        det = !matcheck(A1, B1, C1f);
+      } else if (stage == 2) {
+        auto Yf = Y;
+        if (ftype == 4) cle_vector(Yf);
+        else corrupt_elem(Yf, M, W);
+        det = !foldcheck(Yf);
+      } else {
+        auto C3f = C3;
+        if (ftype == 4) cle_matrix(A2, B2, C3f);
+        else corrupt_elem(C3f, P, pbits);
+        det = !matcheck(A2, B2, C3f);
+      }
+      ++linj[stage - 1];
+      if (!det) ++lund[stage - 1];
+    }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+    {
+      for (int i = 0; i < 3; ++i) {
+        inj[i] += linj[i];
+        und[i] += lund[i];
+      }
+    }
+  }
+  for (int i = 0; i < 3; ++i) {
+    out[i] = inj[i];
+    out[3 + i] = und[i];
+  }
+}
+
+}  // extern "C"

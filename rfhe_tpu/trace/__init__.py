@@ -3,3 +3,4 @@
 from .markers import TraceCollector, TraceEvent, xla_trace  # noqa: F401
 from .analyze import collapse_kernel_runs, summarize_roi  # noqa: F401
 from .profiled import ProfiledRotation  # noqa: F401
+from .cost import op_cost, evaluator_cost_report, format_report  # noqa: F401
