@@ -177,3 +177,24 @@ def dotprod_fault_campaign(bgv_ctx, bits_per_symbol: int, num_symbols: int,
         "expected_dot": expected_dot,
         "dot_hamming": bin(int(full_fault[0, 0]) ^ expected_dot).count("1"),
     }
+
+
+def dotprod_stress(bgv_ctx, iterations: int = 20, seed: int = 0) -> Dict:
+    """Key-reuse stress loop (naive_gemm_test.cu:26-103): run many encrypted
+    dot products with pre-generated keys, verifying each against the
+    plaintext result; any mismatch is a silent fault."""
+    from ..models.dotprod import dot_product_bgv
+    rng = np.random.default_rng(seed)
+    t = bgv_ctx.t
+    shape = (2, bgv_ctx.params.n // 2)
+    failures = 0
+    for it in range(iterations):
+        m1 = rng.integers(0, t, shape, dtype=np.uint32)
+        m2 = rng.integers(0, t, shape, dtype=np.uint32)
+        ct = dot_product_bgv(bgv_ctx, bgv_ctx.encrypt(bgv_ctx.encode(m1)),
+                             bgv_ctx.encrypt(bgv_ctx.encode(m2)))
+        got = int(bgv_ctx.decrypt_decode(ct)[0, 0])
+        expect = int((m1.astype(object) * m2.astype(object)).sum()) % t
+        if got != expect:
+            failures += 1
+    return {"iterations": iterations, "failures": failures}
