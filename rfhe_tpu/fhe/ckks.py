@@ -44,15 +44,21 @@ def _slot_exponents(n: int) -> np.ndarray:
 
 
 def encode(z: np.ndarray, n: int, scale: float, moduli) -> np.ndarray:
-    """Complex slots (n/2,) -> (L, N) uint32 RNS coefficients."""
+    """Complex slots (n/2,) -> (L, N) uint32 RNS coefficients.
+
+    FFT-based canonical embedding, O(n log n): place z_j at odd exponent
+    k_j = 5^j (conjugate at 2n−k_j), then
+      a_t = (1/n)·Re( e^{-iπt/n} · FFT(g)[t] ),  g_m = f(2m+1).
+    """
     z = np.asarray(z, dtype=np.complex128)
     assert z.shape == (n // 2,)
     ks = _slot_exponents(n)
+    g = np.zeros(n, dtype=np.complex128)
+    g[(ks - 1) // 2] = z
+    g[(2 * n - ks - 1) // 2] = np.conj(z)
     t = np.arange(n)
-    # a_t = (2/n) * Re( sum_j z_j * zeta^{-k_j t} ),  zeta = e^{i pi / n}
-    ang = -np.pi / n * np.outer(ks, t)          # (n/2, n)
-    basis = np.exp(1j * ang)
-    a = (2.0 / n) * np.real(z @ basis) * scale
+    twist = np.exp(-1j * np.pi * t / n)
+    a = np.real(twist * np.fft.fft(g)) / n * scale
     coeffs = np.round(a).astype(np.int64)
     return np.stack([
         np.mod(coeffs, q).astype(np.uint32) for q in moduli
@@ -60,12 +66,14 @@ def encode(z: np.ndarray, n: int, scale: float, moduli) -> np.ndarray:
 
 
 def decode(coeffs_signed: np.ndarray, n: int, scale: float) -> np.ndarray:
-    """Signed integer coefficients (N,) -> complex slots (n/2,)."""
+    """Signed integer coefficients (N,) -> complex slots (n/2,), O(n log n):
+    z_j = F(k_j) with F(2m+1) = n·IFFT(a ⊙ e^{iπt/n})[m]."""
     ks = _slot_exponents(n)
+    a = coeffs_signed.astype(np.float64)
     t = np.arange(n)
-    ang = np.pi / n * np.outer(ks, t)
-    basis = np.exp(1j * ang)
-    return (basis @ coeffs_signed.astype(np.float64)) / scale
+    twist = np.exp(1j * np.pi * t / n)
+    F = n * np.fft.ifft(a * twist)
+    return F[(ks - 1) // 2] / scale
 
 
 def rns_to_signed(data: np.ndarray, moduli) -> np.ndarray:
