@@ -153,20 +153,25 @@ class BgvContext:
         n = self.params.n
         moduli = self.params.moduli[:lvl + 1]
         plan = self.ctx.plan.slice(lvl + 1)
-        u_ = _sample_ternary(self.rng, n)
-        e0 = self.t * _sample_gaussian(self.rng, n, self.params.sigma)
-        e1 = self.t * _sample_gaussian(self.rng, n, self.params.sigma)
-        u_ntt = negacyclic_ntt(jnp.asarray(_rns_from_signed(u_, moduli)), plan)
-        m0 = u32.add_mod(jnp.asarray(_rns_from_signed(e0, moduli)), pt.data,
-                         plan.q_arr[:, None])
-        m0_ntt = negacyclic_ntt(m0, plan)
-        m1_ntt = negacyclic_ntt(jnp.asarray(_rns_from_signed(e1, moduli)), plan)
-        q = plan.q_arr[:, None]
-        qinv = plan.qinv_arr[:, None]
-        c0 = u32.add_mod(u32.mont_mul(self.pk.b[:lvl + 1], u_ntt, q, qinv),
-                         m0_ntt, q)
-        c1 = u32.add_mod(u32.mont_mul(self.pk.a[:lvl + 1], u_ntt, q, qinv),
-                         m1_ntt, q)
+        u_ = _rns_from_signed(_sample_ternary(self.rng, n), moduli)
+        e0 = _rns_from_signed(
+            self.t * _sample_gaussian(self.rng, n, self.params.sigma), moduli)
+        e1 = _rns_from_signed(
+            self.t * _sample_gaussian(self.rng, n, self.params.sigma), moduli)
+
+        def enc(pt_data, u, e0, e1, pkb, pka):
+            q = plan.q_arr[:, None]
+            qinv = plan.qinv_arr[:, None]
+            u_ntt = negacyclic_ntt(u, plan)
+            m0_ntt = negacyclic_ntt(u32.add_mod(e0, pt_data, q), plan)
+            m1_ntt = negacyclic_ntt(e1, plan)
+            c0 = u32.add_mod(u32.mont_mul(pkb, u_ntt, q, qinv), m0_ntt, q)
+            c1 = u32.add_mod(u32.mont_mul(pka, u_ntt, q, qinv), m1_ntt, q)
+            return c0, c1
+
+        c0, c1 = self._jit("encrypt", enc)(
+            pt.data, jnp.asarray(u_), jnp.asarray(e0), jnp.asarray(e1),
+            self.pk.b[:lvl + 1], self.pk.a[:lvl + 1])
         return Ciphertext([RnsPoly(c0, True), RnsPoly(c1, True)], 1.0)
 
     def decrypt_coeffs_t(self, ct: Ciphertext) -> np.ndarray:
@@ -184,8 +189,7 @@ class BgvContext:
         signed = rns_to_signed(np.asarray(coeffs.data),
                                self.params.moduli[:lvl + 1])
         corr = ct.correction % self.t
-        return np.array([(int(x) * corr) % self.t for x in signed],
-                        dtype=np.uint32)
+        return ((signed * corr) % self.t).astype(np.uint32)
 
     def decrypt_decode(self, ct: Ciphertext) -> np.ndarray:
         return self.decode(self.decrypt_coeffs_t(ct))
