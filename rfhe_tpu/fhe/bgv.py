@@ -62,13 +62,17 @@ def _slot_map(n: int) -> np.ndarray:
 
 
 class BgvContext:
-    def __init__(self, params: BgvParams, special_bits: int = 31, seed: int = 11):
+    def __init__(self, params: BgvParams, special_bits: int = 31,
+                 seed: int = 11, dnum: Optional[int] = None):
         self.params = params
         n = params.n
-        sp = [p for p in make_prime_chain(n, [special_bits] * 3)
-              if p not in params.moduli and p != params.t][0]
-        self.special = sp
-        self.ctx = RnsContext.make(n, tuple(params.moduli) + (sp,))
+        self.dnum = dnum
+        n_sp = 1 if dnum is None else -(-params.L // dnum)
+        sps = [p for p in make_prime_chain(n, [special_bits] * (n_sp + 2))
+               if p not in params.moduli and p != params.t][:n_sp]
+        assert len(sps) == n_sp
+        self.special = sps[0]
+        self.ctx = RnsContext.make(n, tuple(params.moduli) + tuple(sps))
         self.L = params.L
         self.t = params.t
         self.plan_t = PeaseNttPlan.make(n, [params.t])
@@ -106,7 +110,7 @@ class BgvContext:
     def _gen_ks_bgv(self, s_prime_ntt: jnp.ndarray) -> KeySwitchKey:
         """Keyswitch key with t·e noise (so KS noise stays ≡ 0 mod t)."""
         return self.keygen.gen_keyswitch(self.sk, s_prime_ntt, self.rng,
-                                         noise_factor=self.t)
+                                         noise_factor=self.t, dnum=self.dnum)
 
     def _gen_relin_bgv(self) -> KeySwitchKey:
         q = self.ctx.plan.q_arr[:, None]
@@ -221,7 +225,7 @@ class BgvContext:
     def _relinearize_impl(self, ct: Ciphertext, rlk) -> Ciphertext:
         d2_coeff = poly_intt(ct.c[2], self.ctx)
         k0, k1 = keyswitch(d2_coeff.data, rlk, ct.level, self.ctx,
-                           self.L, t=self.t)
+                           self.L, t=self.t, dnum=self.dnum)
         c0 = poly_add(ct.c[0], RnsPoly(k0, True), self.ctx)
         c1 = poly_add(ct.c[1], RnsPoly(k1, True), self.ctx)
         return Ciphertext([c0, c1], 1.0, correction=ct.correction)
@@ -301,7 +305,7 @@ class BgvContext:
         c1g = poly_automorphism(ct.c[1], g, self.ctx)
         c1_coeff = poly_intt(c1g, self.ctx)
         k0, k1 = keyswitch(c1_coeff.data, ksk, ct.level,
-                           self.ctx, self.L, t=self.t)
+                           self.ctx, self.L, t=self.t, dnum=self.dnum)
         c0 = poly_add(c0g, RnsPoly(k0, True), self.ctx)
         return Ciphertext([c0, RnsPoly(k1, True)], 1.0,
                           correction=ct.correction)

@@ -129,14 +129,18 @@ class CkksContext:
     and key material."""
 
     def __init__(self, params: CkksParams, special_bits: int = 31,
-                 seed: int = 7):
+                 seed: int = 7, dnum: Optional[int] = None):
         self.params = params
         n = params.n
-        # special prime: NTT prime not colliding with the chain
-        sp = [p for p in make_prime_chain(n, [special_bits] * 3)
-              if p not in params.moduli][0]
-        self.special = sp
-        self.ctx = RnsContext.make(n, tuple(params.moduli) + (sp,))
+        self.dnum = dnum                      # None -> per-limb digits
+        n_sp = 1 if dnum is None else -(-params.L // dnum)
+        # special primes: NTT primes not colliding with the chain
+        sps = [p for p in make_prime_chain(n, [special_bits] * (n_sp + 2))
+               if p not in params.moduli][:n_sp]
+        assert len(sps) == n_sp
+        self.special = sps[0]
+        self.specials = tuple(sps)
+        self.ctx = RnsContext.make(n, tuple(params.moduli) + tuple(sps))
         self.L = params.L                     # ciphertext primes
         self.keygen = KeyGen(self.ctx, self.L, params.sigma)
         self.rng = np.random.default_rng(seed)
@@ -149,13 +153,19 @@ class CkksContext:
     @property
     def rlk(self) -> KeySwitchKey:
         if self._rlk is None:
-            self._rlk = self.keygen.gen_relin(self.sk, self.rng)
+            q = self.ctx.plan.q_arr[:, None]
+            qinv = self.ctx.plan.qinv_arr[:, None]
+            s2 = u32.mont_mul(self.sk.s_ntt, self.sk.s_ntt, q, qinv)
+            self._rlk = self.keygen.gen_keyswitch(self.sk, s2, self.rng,
+                                                  dnum=self.dnum)
         return self._rlk
 
     # -- keys ---------------------------------------------------------------
     def galois_key(self, g: int) -> KeySwitchKey:
         if g not in self._galois:
-            self._galois[g] = self.keygen.gen_galois(self.sk, g, self.rng)
+            perm = jnp.asarray(self.ctx.galois_perm(g))
+            self._galois[g] = self.keygen.gen_keyswitch(
+                self.sk, self.sk.s_ntt[:, perm], self.rng, dnum=self.dnum)
         return self._galois[g]
 
     def rotation_galois_element(self, r: int) -> int:
@@ -237,7 +247,7 @@ class CkksContext:
     def _relinearize_impl(self, ct: Ciphertext, rlk) -> Ciphertext:
         d2_coeff = poly_intt(ct.c[2], self.ctx)
         k0, k1 = keyswitch(d2_coeff.data, rlk, ct.level, self.ctx, self.L,
-                           t=self._ks_t)
+                           t=self._ks_t, dnum=self.dnum)
         c0 = poly_add(ct.c[0], RnsPoly(k0, True), self.ctx)
         c1 = poly_add(ct.c[1], RnsPoly(k1, True), self.ctx)
         return Ciphertext([c0, c1], ct.scale)
@@ -259,7 +269,7 @@ class CkksContext:
         c1g = poly_automorphism(ct.c[1], g, self.ctx)
         c1_coeff = poly_intt(c1g, self.ctx)
         k0, k1 = keyswitch(c1_coeff.data, ksk, ct.level, self.ctx, self.L,
-                           t=self._ks_t)
+                           t=self._ks_t, dnum=self.dnum)
         c0 = poly_add(c0g, RnsPoly(k0, True), self.ctx)
         return Ciphertext([c0, RnsPoly(k1, True)], ct.scale)
 

@@ -108,52 +108,65 @@ class KeyGen:
 
     def gen_keyswitch(self, sk: SecretKey, s_prime_ntt: jnp.ndarray,
                       rng: np.random.Generator,
-                      noise_factor: int = 1) -> KeySwitchKey:
+                      noise_factor: int = 1,
+                      dnum: Optional[int] = None) -> KeySwitchKey:
         """Key switching s' -> s.  s_prime_ntt: (L_full, N) NTT domain.
         noise_factor scales the gaussian noise (t for BGV keys).
 
-        Vectorized over digits and jit-compiled: one traced program builds
-        all L digit pairs (the eager per-op path was ~100x slower over the
-        TPU tunnel)."""
+        dnum digits: ciphertext limbs partition into dnum contiguous groups
+        of α = ceil(L/dnum); key j carries P·ẽ_j·s' on its group's limbs,
+        with P the product of the α special primes.  dnum=None -> per-limb
+        digits (α=1).  Vectorized over digits and jit-compiled."""
         ctx = self.ctx
         L = self.n_ct_limbs
         n = ctx.n
-        p_sp = ctx.moduli[L]
+        n_sp = len(ctx.moduli) - L
+        if dnum is None:
+            dnum = -(-L // max(1, n_sp))  # α = n_sp by construction
+        groups = _digit_groups(L, dnum)
+        import math
+        P_sp = math.prod(ctx.moduli[L:])
         from ..numth import shoup_precompute
-        # host sampling (stacked): a (L, Lf, N) uniform; e (L, N) gaussian
-        a = np.stack([_sample_uniform_rns(rng, ctx.moduli, n) for _ in range(L)])
+        a = np.stack([_sample_uniform_rns(rng, ctx.moduli, n)
+                      for _ in range(len(groups))])
         e = np.stack([
             _rns_from_signed(
                 noise_factor * _sample_gaussian(rng, n, self.sigma), ctx.moduli)
-            for _ in range(L)
+            for _ in range(len(groups))
         ])
-        pj = np.array([p_sp % ctx.moduli[j] for j in range(L)], dtype=np.uint32)
-        pj_s = np.array([shoup_precompute(int(pj[j]), ctx.moduli[j])
-                         for j in range(L)], dtype=np.uint32)
-        qj = np.array(ctx.moduli[:L], dtype=np.uint32)
-
-        b, a = self._build_jit()(jnp.asarray(a), jnp.asarray(e), sk.s_ntt,
-                                 s_prime_ntt, jnp.asarray(pj),
-                                 jnp.asarray(pj_s), jnp.asarray(qj))
+        gi_idx, l_idx, pl, pl_s, ql = [], [], [], [], []
+        for gi, grp in enumerate(groups):
+            for l in grp:
+                gi_idx.append(gi)
+                l_idx.append(l)
+                v = P_sp % ctx.moduli[l]
+                pl.append(v)
+                pl_s.append(shoup_precompute(v, ctx.moduli[l]))
+                ql.append(ctx.moduli[l])
+        b, a = self._build_jit()(
+            jnp.asarray(a), jnp.asarray(e), sk.s_ntt, s_prime_ntt,
+            jnp.asarray(np.array(gi_idx, dtype=np.int32)),
+            jnp.asarray(np.array(l_idx, dtype=np.int32)),
+            jnp.asarray(np.array(pl, dtype=np.uint32)),
+            jnp.asarray(np.array(pl_s, dtype=np.uint32)),
+            jnp.asarray(np.array(ql, dtype=np.uint32)))
         return KeySwitchKey(b=b, a=a)
 
     def _build_jit(self):
-        """Cached jitted key-pair builder (one compile per KeyGen)."""
+        """Cached jitted key-pair builder (one compile per KeyGen/shape)."""
         if not hasattr(self, "_build_fn"):
             ctx = self.ctx
-            L = self.n_ct_limbs
 
-            def build(a, e, s_ntt, s_prime, pj, pj_s, qj):
+            def build(a, e, s_ntt, s_prime, gi_idx, l_idx, pl, pl_s, ql):
                 q = ctx.plan.q_arr[:, None]
                 qinv = ctx.plan.qinv_arr[:, None]
                 e_ntt = negacyclic_ntt(e, ctx.plan)
                 b = u32.sub_mod(e_ntt, u32.mont_mul(a, s_ntt, q, qinv), q)
-                # + p·ẽ_j·s' on the (j, j) diagonal limbs
-                add_d = u32.mul_mod_shoup(s_prime[:L], pj[:, None],
-                                          pj_s[:, None], qj[:, None])
-                diag = jnp.arange(L)
-                return b.at[diag, diag].set(
-                    u32.add_mod(b[diag, diag], add_d, qj[:, None])), a
+                # + P·ẽ_g·s' on each group's (g, l) limbs
+                add_d = u32.mul_mod_shoup(s_prime[l_idx], pl[:, None],
+                                          pl_s[:, None], ql[:, None])
+                return b.at[gi_idx, l_idx].set(
+                    u32.add_mod(b[gi_idx, l_idx], add_d, ql[:, None])), a
 
             object.__setattr__(self, "_build_fn", jax.jit(build))
         return self._build_fn
@@ -173,53 +186,125 @@ class KeyGen:
         return self.gen_keyswitch(sk, s_g, rng)
 
 
+def _digit_groups(L: int, dnum: int):
+    """Partition limbs 0..L-1 into dnum contiguous groups of α = ceil(L/dnum)."""
+    alpha = -(-L // dnum)
+    return [list(range(g * alpha, min((g + 1) * alpha, L)))
+            for g in range(dnum) if g * alpha < L]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _group_ext_consts(moduli: tuple, G: tuple, lim: tuple):
+    """Fast-base-extension constants for digit group G at the active basis
+    `lim`: tilde_l = (Q_G/q_l)^{-1} mod q_l and W[l][i] = (Q_G/q_l) mod q_i,
+    each with Shoup companions."""
+    import math
+    from ..numth import mod_inv, shoup_precompute
+    QG = math.prod(moduli[l] for l in G)
+    tilde, tilde_s = [], []
+    W, W_s = [], []
+    for l in G:
+        hat = QG // moduli[l]
+        tl = mod_inv(hat % moduli[l], moduli[l])
+        tilde.append(tl)
+        tilde_s.append(shoup_precompute(tl, moduli[l]))
+        W.append([hat % moduli[i] for i in lim])
+        W_s.append([shoup_precompute(hat % moduli[i], moduli[i]) for i in lim])
+    return (np.array(tilde, dtype=np.uint32), np.array(tilde_s, dtype=np.uint32),
+            np.array(W, dtype=np.uint32), np.array(W_s, dtype=np.uint32))
+
+
 def keyswitch(d_coeff: jnp.ndarray, ksk: KeySwitchKey, level: int,
               ctx: RnsContext, n_ct_limbs: int,
-              t: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              t: Optional[int] = None,
+              dnum: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply a keyswitch key to a coeff-domain poly d (level+1, N).
 
     Returns (c0_delta, c1_delta) in NTT domain over limbs 0..level — the
     correction pair to add to a ciphertext.  This is the `switch_key` hot path
     (≈20% of a rotation in the reference profile, draw_pie_chart.py:8): per
-    digit, one base extension + stacked NTT + dyadic MAC, then one mod-down.
+    digit, one base extension + stacked NTT + dyadic MAC, then mod-down by
+    the special primes.
+
+    dnum digits over groups of α limbs; n_special = α special primes occupy
+    moduli indices n_ct_limbs .. end.  dnum=None -> per-limb digits.
     """
-    L_sp = n_ct_limbs                       # index of the special prime
-    lim = list(range(level + 1)) + [L_sp]
+    L = n_ct_limbs
+    n_sp = len(ctx.moduli) - L
+    if dnum is None:
+        dnum = L
+    groups_full = _digit_groups(L, dnum)
+    active = level + 1
+    sp_idx = list(range(L, L + n_sp))
+    lim = list(range(active)) + sp_idx
+    moduli = ctx.moduli
     digits = []
-    for j in range(level + 1):
-        ext = []
-        v = d_coeff[j]
-        zeros = jnp.zeros_like(v)
-        for i in lim:
-            if i == j:
-                ext.append(v)
-            elif ctx.moduli[i] > ctx.moduli[j]:
-                ext.append(v)
-            else:
-                ext.append(u32.barrett_reduce64(
-                    zeros, v, ctx.moduli[i], ctx.barrett_mu[i],
-                    ctx.barrett_k[i]))
-        digits.append(jnp.stack(ext))
+    used = []
+    for gi, grp in enumerate(groups_full):
+        G = [l for l in grp if l < active]
+        if not G:
+            continue
+        used.append(gi)
+        if len(G) == 1:
+            # single-limb digit: residue extension (exact)
+            v = d_coeff[G[0]]
+            zeros = jnp.zeros_like(v)
+            ext = []
+            for i in lim:
+                if i == G[0] or moduli[i] > moduli[G[0]]:
+                    ext.append(v)
+                else:
+                    ext.append(u32.barrett_reduce64(
+                        zeros, v, moduli[i], ctx.barrett_mu[i],
+                        ctx.barrett_k[i]))
+            digits.append(jnp.stack(ext))
+        else:
+            # grouped digit [d]_{Q_G}: fast base extension
+            tilde, tilde_s, W, W_s = _group_ext_consts(
+                tuple(moduli), tuple(G), tuple(lim))
+            rprime = [
+                u32.mul_mod_shoup(d_coeff[l], int(tilde[li]), int(tilde_s[li]),
+                                  moduli[l])
+                for li, l in enumerate(G)
+            ]
+            ext = []
+            for ii, i in enumerate(lim):
+                qi = moduli[i]
+                acc = None
+                zeros = jnp.zeros_like(rprime[0])
+                for li, l in enumerate(G):
+                    r = rprime[li]
+                    if moduli[l] >= qi:
+                        r = u32.barrett_reduce64(zeros, r, qi,
+                                                 ctx.barrett_mu[i],
+                                                 ctx.barrett_k[i])
+                    term = u32.mul_mod_shoup(r, int(W[li, ii]),
+                                             int(W_s[li, ii]), qi)
+                    acc = term if acc is None else u32.add_mod(acc, term, qi)
+                ext.append(acc)
+            digits.append(jnp.stack(ext))
     dig = jnp.stack(digits)                 # (n_dig, n_lim, N) coeff domain
-    # stacked NTT over the sliced basis
     sub_plan = _basis_plan(ctx, lim)
     dig_ntt = negacyclic_ntt(dig, sub_plan)
-    # dyadic MAC against the key (slice key limbs to the active basis)
     lim_idx = jnp.asarray(lim)
-    kb = ksk.b[:level + 1][:, lim_idx]
-    ka = ksk.a[:level + 1][:, lim_idx]
+    used_idx = jnp.asarray(used)
+    kb = ksk.b[used_idx][:, lim_idx]
+    ka = ksk.a[used_idx][:, lim_idx]
     q = sub_plan.q_arr[:, None]
     qinv = sub_plan.qinv_arr[:, None]
-    from ..ops.modring import sum_mod  # local import to avoid cycles
     t0 = u32.mont_mul(dig_ntt, kb, q, qinv)
     t1 = u32.mont_mul(dig_ntt, ka, q, qinv)
     acc0 = _sum_digits(t0, q)
     acc1 = _sum_digits(t1, q)
-    # mod-down by the special prime (t-aware in BGV so the rounding noise
-    # stays ≡ 0 mod t)
-    c0 = drop_limb(acc0, L_sp, level + 1, ctx, t)
-    c1 = drop_limb(acc1, L_sp, level + 1, ctx, t)
-    return c0, c1
+    # mod-down by the special primes, last to first (t-aware in BGV)
+    for k_i in range(n_sp - 1, -1, -1):
+        keep = list(range(active)) + sp_idx[:k_i]
+        acc0 = drop_limb(acc0, sp_idx[k_i], keep, ctx, t)
+        acc1 = drop_limb(acc1, sp_idx[k_i], keep, ctx, t)
+    return acc0, acc1
 
 
 def _sum_digits(t: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

@@ -186,7 +186,7 @@ def limb_plan(ctx: RnsContext, i: int) -> PeaseNttPlan:
     return ctx.plan.take([i])
 
 
-def lift_to_limbs(v: jnp.ndarray, src_k: int, dst: range,
+def lift_to_limbs(v: jnp.ndarray, src_k: int, dst,
                   ctx: RnsContext, centered: bool) -> jnp.ndarray:
     """Lift coeff-domain values v ∈ [0, q_src)^... to residues mod each
     q_i, i ∈ dst, optionally via the centered representative
@@ -205,25 +205,28 @@ def lift_to_limbs(v: jnp.ndarray, src_k: int, dst: range,
     return jnp.stack(rows)
 
 
-def drop_limb(data: jnp.ndarray, src_k: int, n_keep: int,
+def drop_limb(data: jnp.ndarray, src_k: int, n_keep, 
               ctx: RnsContext, t: Optional[int] = None) -> jnp.ndarray:
     """Exact RNS divide-and-round: given NTT-domain limbs
-    data = [rows for moduli 0..n_keep-1] + [row for modulus src_k],
-    return ((data - δ) · q_src^{-1}) mod q_i for i < n_keep.
+    data = [rows for the kept moduli] + [row for modulus src_k],
+    return ((data - δ) · q_src^{-1}) mod q_i for each kept modulus.
 
-    CKKS / plain mode (t=None): δ = [data_src] (centered lift) — this is both
-    CKKS rescale (src = top limb) and the keyswitch mod-down by the special
-    prime (src = special limb).
+    `n_keep` is an int (kept moduli = 0..n_keep-1, the contiguous case:
+    CKKS rescale, single-special mod-down) or an explicit list of modulus
+    indices (generalized hybrid keyswitch with multiple special primes).
 
+    CKKS / plain mode (t=None): δ = [data_src] (centered lift).
     BGV mode (t given): δ additionally satisfies δ ≡ 0 (mod t), i.e.
     δ = [c]_c − q_src·[[c]_c·q_src^{-1}]_t (both lifts centered), so the
     division leaves the message residue mod t intact up to the q_src^{-1}
     factor (tracked by the caller's correction)."""
     from ..numth import barrett_constants, mod_inv
-    src_row = negacyclic_intt(data[n_keep:n_keep + 1], limb_plan(ctx, src_k))
+    keep = list(range(n_keep)) if isinstance(n_keep, int) else list(n_keep)
+    nk = len(keep)
+    src_row = negacyclic_intt(data[nk:nk + 1], limb_plan(ctx, src_k))
     ck = src_row[0]                                   # (..., N) coeff domain
     q_src = ctx.moduli[src_k]
-    delta = lift_to_limbs(ck, src_k, range(n_keep), ctx, centered=True)
+    delta = lift_to_limbs(ck, src_k, keep, ctx, centered=True)
     if t is not None:
         over = ck > (q_src // 2)
         mu_t, k_t = barrett_constants(t)
@@ -233,18 +236,19 @@ def drop_limb(data: jnp.ndarray, src_k: int, n_keep: int,
         r = jnp.where(over, u32.sub_mod(r, jnp.uint32(1), t), r)
         r_over = r > (t // 2)
         rows = []
-        for i in range(n_keep):
+        for ri, i in enumerate(keep):
             qi = ctx.moduli[i]
             r_c = jnp.where(r_over, u32.sub_mod(r, jnp.uint32(t % qi), qi), r)
             qs_r = u32.mul_mod(jnp.uint32(q_src % qi), r_c, qi,
                                _mont_qinv(qi), _mont_r2(qi))
-            rows.append(u32.sub_mod(delta[i], qs_r, qi))
+            rows.append(u32.sub_mod(delta[ri], qs_r, qi))
         delta = jnp.stack(rows)
-    delta_ntt = negacyclic_ntt(delta, ctx.plan.slice(n_keep))
-    q_lo = ctx.plan.q_arr[:n_keep, None]
-    num = u32.sub_mod(data[:n_keep], delta_ntt, q_lo)
-    return u32.mul_mod_shoup(num, ctx.qk_inv[src_k][:n_keep, None],
-                             ctx.qk_inv_shoup[src_k][:n_keep, None], q_lo)
+    delta_ntt = negacyclic_ntt(delta, ctx.plan.take(keep))
+    keep_idx = np.asarray(keep)
+    q_lo = ctx.plan.q_arr[keep_idx, None]
+    num = u32.sub_mod(data[:nk], delta_ntt, q_lo)
+    return u32.mul_mod_shoup(num, ctx.qk_inv[src_k][keep_idx, None],
+                             ctx.qk_inv_shoup[src_k][keep_idx, None], q_lo)
 
 
 @lru_cache(maxsize=128)
