@@ -187,6 +187,41 @@ def sweep_dotprod(args) -> None:
     print("wrote", path)
 
 
+def sweep_dnum(args) -> None:
+    """Rotation cost breakdown vs dnum (draw_dnum.py analog): fewer digits
+    means fewer NTTs but heavier base conversion."""
+    import numpy as np
+    from ..fhe import CkksContext, CkksParams
+    from ..trace import ProfiledRotation
+    f, w, path = _writer(args.out, f"dnum_N{args.N}.csv")
+    w.writerow(["dnum", "alpha", "total_us", "NTT", "ModMul", "BaseConv",
+                "Others"])
+    params = CkksParams.make(n=args.N, levels=args.levels, q0_bits=30,
+                             scale_bits=26)
+    L = params.L
+    for dnum in sorted({1, 2, 3, 4, 6, L} & set(range(1, L + 1))):
+        ckks = CkksContext(params, seed=args.seed, dnum=dnum)
+        rng = np.random.default_rng(0)
+        z = rng.uniform(-1, 1, args.N // 2) + 0j
+        ct = ckks.encrypt(*ckks.encode(z))
+        prof = ProfiledRotation(ckks)
+        prof.rotate(ct, 1)
+        best = None
+        for _ in range(args.reps):
+            prof.rotate(ct, 1)
+            bd = prof.breakdown()
+            if best is None or bd["total_us"] < best["total_us"]:
+                best = bd
+        alpha = -(-L // dnum)
+        w.writerow([dnum, alpha, f"{best['total_us']:.1f}",
+                    f"{best['NTT']:.4f}", f"{best['ModMul']:.4f}",
+                    f"{best['BaseConv']:.4f}", f"{best['Others']:.4f}"])
+        print(f"[dnum] dnum={dnum} alpha={alpha}: {best['total_us']:.0f}us",
+              flush=True)
+    f.close()
+    print("wrote", path)
+
+
 def sweep_rotation(args) -> None:
     import numpy as np
     from ..fhe import CkksContext, CkksParams
@@ -228,6 +263,7 @@ SWEEPS = {
     "ntt_err": sweep_ntt_err,
     "dotprod": sweep_dotprod,
     "rotation": sweep_rotation,
+    "dnum": sweep_dnum,
 }
 
 
