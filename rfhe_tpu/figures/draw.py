@@ -170,6 +170,68 @@ def fig_evaluator(args):
     print(save(fig, args.out, "evaluator_reliability.png"))
 
 
+# per-model op composition (share of NTT&INTT / BaseConv / ModMul / Others)
+# — the reference's end-to-end workload mix (end_to_end/draw_end_to_end_cost.py
+# data family); our overheads come from results/atom_overheads.csv (measured)
+WORKLOADS = {
+    "Bootstrapping": {"NTTCost": 0.798, "BaseConvCost": 0.090,
+                      "ModmulCost": 0.092, "Others": 0.020},
+    "ResNet_ReLU":   {"NTTCost": 0.757, "BaseConvCost": 0.101,
+                      "ModmulCost": 0.119, "Others": 0.023},
+    "ResNet_SiLU":   {"NTTCost": 0.744, "BaseConvCost": 0.103,
+                      "ModmulCost": 0.128, "Others": 0.025},
+    "MLP":           {"NTTCost": 0.714, "BaseConvCost": 0.111,
+                      "ModmulCost": 0.150, "Others": 0.025},
+    "LoLa":          {"NTTCost": 0.731, "BaseConvCost": 0.108,
+                      "ModmulCost": 0.134, "Others": 0.027},
+    "LeNet":         {"NTTCost": 0.722, "BaseConvCost": 0.106,
+                      "ModmulCost": 0.145, "Others": 0.027},
+}
+
+
+def fig_end_to_end(args):
+    """Stacked baseline-vs-protected cost per end-to-end model with the
+    measured per-atom overheads; total-overhead multiplier labeled on each
+    protected bar (draw_end_to_end_cost.py analog)."""
+    ovh = {"NTTCost": 1.02, "BaseConvCost": 1.001, "ModmulCost": 1.14,
+           "Others": 2.0}
+    path = args.data or "results/atom_overheads.csv"
+    if os.path.exists(path):
+        for r in _read(path):
+            ovh[r["atom"]] = float(r["overhead"])
+    cats = ["NTTCost", "BaseConvCost", "ModmulCost", "Others"]
+    labels = {"NTTCost": "NTT&INTT", "BaseConvCost": "BaseConv",
+              "ModmulCost": "ModMul", "Others": "Others"}
+    fig, ax = new_fig(8.0, 4.0)
+    xpos = []
+    xlab = []
+    x = 0.0
+    for model, comp in WORKLOADS.items():
+        bottoms = [0.0, 0.0]
+        total_prot = 0.0
+        for ci, c in enumerate(cats):
+            base_v = comp[c] * 100
+            prot_v = base_v * ovh[c]
+            total_prot += prot_v
+            ax.bar([x], [base_v], bottom=[bottoms[0]], width=0.38,
+                   color=PALETTE[ci], label=labels[c] if x == 0 else None)
+            ax.bar([x + 0.42], [prot_v], bottom=[bottoms[1]], width=0.38,
+                   color=PALETTE[ci], alpha=0.65)
+            bottoms[0] += base_v
+            bottoms[1] += prot_v
+        ax.text(x + 0.42, bottoms[1] + 1.5, f"{total_prot / 100:.4f}x",
+                ha="center", fontsize=7)
+        xpos.append(x + 0.21)
+        xlab.append(model)
+        x += 1.2
+    ax.set_xticks(xpos)
+    ax.set_xticklabels(xlab, fontsize=8)
+    ax.set_ylabel("relative cost (baseline = 100)")
+    ax.set_title("End-to-end cost: baseline vs protected (measured overheads)")
+    ax.legend(fontsize=8)
+    print(save(fig, args.out, "end_to_end_cost.png"))
+
+
 FIGS = {
     "rotation": fig_rotation,
     "barrett": fig_barrett,
@@ -177,6 +239,7 @@ FIGS = {
     "relia_ntt": fig_relia_ntt,
     "err_scatter": fig_err_scatter,
     "evaluator": fig_evaluator,
+    "end_to_end": fig_end_to_end,
 }
 
 
