@@ -79,6 +79,32 @@ def sweep_relia_ntt(args) -> None:
     print("wrote", path)
 
 
+def sweep_relia_ntt_native(args) -> None:
+    """Native-engine version of the flagship sweep at the reference's full
+    trial counts (test_reliaNTT.sh: q-bits 10..30, 1M trials) — butterfly-op
+    granularity, OpenMP."""
+    from .. import numth, native
+    f, w, path = _writer(args.out, f"reliaNTT_native_N{args.N}_T{args.trials}.csv")
+    w.writerow(["qbits", "q", "kind", "det_rate", "miss_rate",
+                "intra_catch", "inter_catch", "batch_catch"])
+    for qbits in range(args.qbits_min, args.qbits_max + 1, args.qbits_step):
+        try:
+            q = numth.find_ntt_prime(args.N, qbits, negacyclic=False)
+        except ValueError:
+            continue
+        for kind in ("SBF", "DBF", "MOF1"):
+            res = native.four_step_mc(kind, args.trials, args.N, q,
+                                      args.fold, seed=args.seed)
+            st = res["stats"]
+            w.writerow([qbits, q, kind, f"{res['det_rate']:.6f}",
+                        f"{res['miss_rate']:.6f}", st["intra_catch"],
+                        st["inter_catch"], st["batch_catch"]])
+            print(f"[relia_native] q={q} ({qbits}b) {kind} "
+                  f"miss={res['miss_rate']:.6f}", flush=True)
+    f.close()
+    print("wrote", path)
+
+
 def sweep_barrett_fold(args) -> None:
     from ..faults.reduction_campaigns import barrett_scheme_campaign
     f, w, path = _writer(args.out, f"barrett_fold_T{args.trials}.csv")
@@ -257,6 +283,7 @@ def sweep_rotation(args) -> None:
 SWEEPS = {
     "pbits": sweep_pbits,
     "relia_ntt": sweep_relia_ntt,
+    "relia_ntt_native": sweep_relia_ntt_native,
     "barrett_fold": sweep_barrett_fold,
     "montgomery": sweep_montgomery,
     "barrett_final": sweep_barrett_final,

@@ -217,21 +217,10 @@ def _group_ext_consts(moduli: tuple, G: tuple, lim: tuple):
             np.array(W, dtype=np.uint32), np.array(W_s, dtype=np.uint32))
 
 
-def keyswitch(d_coeff: jnp.ndarray, ksk: KeySwitchKey, level: int,
-              ctx: RnsContext, n_ct_limbs: int,
-              t: Optional[int] = None,
-              dnum: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Apply a keyswitch key to a coeff-domain poly d (level+1, N).
-
-    Returns (c0_delta, c1_delta) in NTT domain over limbs 0..level — the
-    correction pair to add to a ciphertext.  This is the `switch_key` hot path
-    (≈20% of a rotation in the reference profile, draw_pie_chart.py:8): per
-    digit, one base extension + stacked NTT + dyadic MAC, then mod-down by
-    the special primes.
-
-    dnum digits over groups of α limbs; n_special = α special primes occupy
-    moduli indices n_ct_limbs .. end.  dnum=None -> per-limb digits.
-    """
+def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
+                   n_ct_limbs: int, dnum: Optional[int] = None):
+    """Digit decomposition + base extension for the hybrid keyswitch: returns
+    (dig (n_used, n_lim, N) coeff-domain, used group indices, lim basis)."""
     L = n_ct_limbs
     n_sp = len(ctx.moduli) - L
     if dnum is None:
@@ -286,7 +275,29 @@ def keyswitch(d_coeff: jnp.ndarray, ksk: KeySwitchKey, level: int,
                     acc = term if acc is None else u32.add_mod(acc, term, qi)
                 ext.append(acc)
             digits.append(jnp.stack(ext))
-    dig = jnp.stack(digits)                 # (n_dig, n_lim, N) coeff domain
+    return jnp.stack(digits), used, lim
+
+
+def keyswitch(d_coeff: jnp.ndarray, ksk: KeySwitchKey, level: int,
+              ctx: RnsContext, n_ct_limbs: int,
+              t: Optional[int] = None,
+              dnum: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply a keyswitch key to a coeff-domain poly d (level+1, N).
+
+    Returns (c0_delta, c1_delta) in NTT domain over limbs 0..level — the
+    correction pair to add to a ciphertext.  This is the `switch_key` hot path
+    (≈20% of a rotation in the reference profile, draw_pie_chart.py:8): per
+    digit, one base extension + stacked NTT + dyadic MAC, then mod-down by
+    the special primes.
+
+    dnum digits over groups of α limbs; n_special = α special primes occupy
+    moduli indices n_ct_limbs .. end.  dnum=None -> per-limb digits.
+    """
+    L = n_ct_limbs
+    n_sp = len(ctx.moduli) - L
+    sp_idx = list(range(L, L + n_sp))
+    active = level + 1
+    dig, used, lim = compute_digits(d_coeff, level, ctx, L, dnum)
     sub_plan = _basis_plan(ctx, lim)
     dig_ntt = negacyclic_ntt(dig, sub_plan)
     lim_idx = jnp.asarray(lim)

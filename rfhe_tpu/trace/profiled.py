@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fhe.ckks import Ciphertext, CkksContext
-from ..fhe.keys import KeySwitchKey, _basis_plan, _sum_digits
+from ..fhe.keys import KeySwitchKey, _basis_plan, _sum_digits, compute_digits
 from ..fhe.rns import RnsPoly, drop_limb, poly_add
 from ..ops import u32
 from ..ops.ntt_pease import negacyclic_intt, negacyclic_ntt
@@ -53,7 +53,9 @@ class ProfiledRotation:
         ksk = ckks.galois_key(g)
         level = ct.level
         L_sp = ckks.L
-        lim = list(range(level + 1)) + [L_sp]
+        n_sp = len(ctx.moduli) - ckks.L
+        sp_idx = list(range(ckks.L, ckks.L + n_sp))
+        lim = list(range(level + 1)) + sp_idx
         sub_plan = _basis_plan(ctx, lim)
         perm = jnp.asarray(ctx.galois_perm(g))
         lim_idx = jnp.asarray(lim)
@@ -72,21 +74,14 @@ class ProfiledRotation:
                 d = sync(f(c1g))
             with col.kernel("BASECONV"):
                 def extend(dc):
-                    digs = []
-                    zeros = jnp.zeros_like(dc[0])
-                    for j in range(level + 1):
-                        ext = []
-                        for i in lim:
-                            if i == j or ctx.moduli[i] > ctx.moduli[j]:
-                                ext.append(dc[j])
-                            else:
-                                ext.append(u32.barrett_reduce64(
-                                    zeros, dc[j], ctx.moduli[i],
-                                    ctx.barrett_mu[i], ctx.barrett_k[i]))
-                        digs.append(jnp.stack(ext))
-                    return jnp.stack(digs)
+                    dig_, _, _ = compute_digits(dc, level, ctx, ckks.L,
+                                                ckks.dnum)
+                    return dig_
                 f = self._jit(("ext", level), extend)
                 dig = sync(f(d))
+                _, used, _ = compute_digits(
+                    jnp.zeros_like(d), level, ctx, ckks.L, ckks.dnum)
+                used_idx = jnp.asarray(used)
             with col.kernel("NTT"):
                 f = self._jit(("ntt", level),
                               lambda x: negacyclic_ntt(x, sub_plan))
@@ -99,14 +94,16 @@ class ProfiledRotation:
                     t1 = u32.mont_mul(dn, ka, q, qinv)
                     return _sum_digits(t0, q), _sum_digits(t1, q)
                 f = self._jit(("mac", level), mac)
-                acc0, acc1 = sync(f(dig_ntt, ksk.b[:level + 1][:, lim_idx],
-                                    ksk.a[:level + 1][:, lim_idx]))
+                acc0, acc1 = sync(f(dig_ntt, ksk.b[used_idx][:, lim_idx],
+                                    ksk.a[used_idx][:, lim_idx]))
             with col.kernel("MODDOWN"):
                 def moddown(a0, a1, c0):
-                    k0 = drop_limb(a0, L_sp, level + 1, ctx)
-                    k1 = drop_limb(a1, L_sp, level + 1, ctx)
+                    for k_i in range(n_sp - 1, -1, -1):
+                        keep = list(range(level + 1)) + sp_idx[:k_i]
+                        a0 = drop_limb(a0, sp_idx[k_i], keep, ctx)
+                        a1 = drop_limb(a1, sp_idx[k_i], keep, ctx)
                     q = ctx.plan.q_arr[:level + 1, None]
-                    return u32.add_mod(c0, k0, q), k1
+                    return u32.add_mod(c0, a0, q), a1
                 f = self._jit(("moddown", level), moddown)
                 c0, c1 = sync(f(acc0, acc1, c0g))
         out = Ciphertext([RnsPoly(c0, True), RnsPoly(c1, True)], ct.scale)
