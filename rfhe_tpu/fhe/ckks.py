@@ -204,7 +204,7 @@ class CkksContext:
             c1 = u32.add_mod(u32.mont_mul(pka, u_ntt, q, qinv), m1_ntt, q)
             return c0, c1
 
-        c0, c1 = self._jit("encrypt", enc)(
+        c0, c1 = self._jit(("encrypt", lvl), enc)(
             pt.data, jnp.asarray(u), jnp.asarray(e0), jnp.asarray(e1),
             self.pk.b[:lvl + 1], self.pk.a[:lvl + 1])
         return Ciphertext([RnsPoly(c0, True), RnsPoly(c1, True)], scale)
@@ -212,15 +212,21 @@ class CkksContext:
     def decrypt(self, ct: Ciphertext) -> RnsPoly:
         lvl = ct.level
         plan = self.ctx.plan.slice(lvl + 1)
-        q = plan.q_arr[:, None]
-        qinv = plan.qinv_arr[:, None]
-        s = self.sk.s_ntt[:lvl + 1]
-        acc = ct.c[0].data
-        spow = s
-        for comp in ct.c[1:]:
-            acc = u32.add_mod(acc, u32.mont_mul(comp.data, spow, q, qinv), q)
-            spow = u32.mont_mul(spow, s, q, qinv)
-        return poly_intt(RnsPoly(acc, True), self.ctx)
+
+        def dec(cs, s):
+            q = plan.q_arr[:, None]
+            qinv = plan.qinv_arr[:, None]
+            acc = cs[0]
+            spow = s
+            for comp in cs[1:]:
+                acc = u32.add_mod(acc, u32.mont_mul(comp, spow, q, qinv), q)
+                spow = u32.mont_mul(spow, s, q, qinv)
+            from ..ops.ntt_pease import negacyclic_intt
+            return negacyclic_intt(acc, plan)
+
+        out = self._jit(("decrypt", ct.size, lvl), dec)(
+            [c.data for c in ct.c], self.sk.s_ntt[:lvl + 1])
+        return RnsPoly(out, False)
 
     def decrypt_decode(self, ct: Ciphertext) -> np.ndarray:
         pt = self.decrypt(ct)
