@@ -17,15 +17,13 @@ storage faults (draw_non_4step_ntt.py figure).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..numth import montgomery_constants, root_of_unity, shoup_precompute
-from ..ops.modring import ModArith, sum_mod
+from ..ops.modring import ModArith
 from ..ops.ntt import NttPlan, ntt
 from .inject import inject_kind
 

@@ -19,7 +19,6 @@ All trials run as jit(vmap(trial)) over fold-in keys.
 from __future__ import annotations
 
 import random as _random
-from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -29,7 +28,6 @@ import numpy as np
 from ..numth import barrett_constants, find_prime_with_bitlen, next_prime_ge
 from ..ops import bigint
 from ..ops.modring import sum_mod
-from ..ops.u32 import add_mod, sub_mod
 
 
 def _limbs(bits: int) -> int:

@@ -20,7 +20,7 @@ Exactness bounds:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Tuple
 
 import jax.numpy as jnp

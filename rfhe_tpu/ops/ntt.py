@@ -20,13 +20,13 @@ negaclic_ntt.py:86-109 (verified bit-exactly in tests via the oracle).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..numth import PrimeCtx, mod_inv, shoup_precompute
-from .u32 import add_mod, sub_mod, mul_mod_shoup, mont_mul, to_mont, from_mont
+from .u32 import add_mod, sub_mod, mul_mod_shoup, mont_mul
 
 
 def bit_reverse_indices(n: int) -> np.ndarray:

@@ -19,8 +19,6 @@ inverse twiddles; the factor n is removed by the caller's exit table.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

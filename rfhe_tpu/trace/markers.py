@@ -15,10 +15,9 @@ from __future__ import annotations
 
 import contextlib
 import io
-import sys
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional, TextIO, Tuple
+from typing import List, Optional, TextIO
 
 
 @dataclass

@@ -19,16 +19,14 @@ Phase timings feed figures/draw_rotation (the eva_4-class breakdown).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..fhe.ckks import Ciphertext, CkksContext
-from ..fhe.keys import KeySwitchKey, _basis_plan, _sum_digits, compute_digits
-from ..fhe.rns import RnsPoly, drop_limb, poly_add
+from ..fhe.keys import _basis_plan, _sum_digits, compute_digits
+from ..fhe.rns import RnsPoly, drop_limb
 from ..ops import u32
 from ..ops.ntt_pease import negacyclic_intt, negacyclic_ntt
 from .markers import TraceCollector
