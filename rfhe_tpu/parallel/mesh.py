@@ -39,3 +39,17 @@ def init_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+
+
+def shard_ciphertext(ct, mesh, limb_axis: str = "limb"):
+    """Place a Ciphertext's limb axis across the mesh (DP over RNS limbs):
+    every evaluator op then runs SPMD under jit — elementwise ops and the
+    stacked NTT are embarrassingly parallel over limbs; XLA inserts the few
+    collectives the keyswitch mod-down needs."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rfhe_tpu.fhe.ckks import Ciphertext
+    from rfhe_tpu.fhe.rns import RnsPoly
+    sh = NamedSharding(mesh, P(limb_axis, None))
+    polys = [RnsPoly(jax.device_put(p.data, sh), p.is_ntt) for p in ct.c]
+    return Ciphertext(polys, ct.scale, ct.correction)
