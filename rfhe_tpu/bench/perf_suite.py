@@ -1,9 +1,9 @@
 """Evaluator performance suite (profile_framewk/src/framewk.cpp analog):
-times every evaluator op for CKKS and BGV and prints the familiar
+times every evaluator op for CKKS, BGV, and BFV and prints the familiar
 "Average <op>: N microseconds" lines, plus a MicroTest-style registry
 (include/microtest.h) for ad-hoc micro-benchmarks.
 
-Usage: python -m rfhe_tpu.bench.perf_suite [ckks|bgv|all] [--n N] [--levels L]
+Usage: python -m rfhe_tpu.bench.perf_suite [ckks|bgv|bfv|all] [--n N] [--levels L]
 """
 from __future__ import annotations
 
@@ -127,9 +127,48 @@ def bgv_performance_test(n: int = 4096, levels: int = 2,
     return results
 
 
+def bfv_performance_test(n: int = 4096, levels: int = 2,
+                         iters: int = 10) -> Dict[str, float]:
+    """BFV op timings (framewk.cpp bfv_performance_test surface)."""
+    import jax
+    from ..fhe.params import BfvParams
+    from ..fhe.bfv import BfvContext
+    bfv = BfvContext(BfvParams.make(n=n, levels=levels, q_bits=30, t_bits=16),
+                     seed=13)
+    rng = np.random.default_rng(0)
+    m1 = rng.integers(0, bfv.t, (2, n // 2), dtype=np.uint32)
+    m2 = rng.integers(0, bfv.t, (2, n // 2), dtype=np.uint32)
+    results: Dict[str, float] = {}
+    t0 = time.perf_counter()
+    pt1 = bfv.encode(m1)
+    results["batch_encode"] = (time.perf_counter() - t0) * 1e6
+    pt2 = bfv.encode(m2)
+    t0 = time.perf_counter()
+    ct1 = bfv.encrypt(pt1)
+    jax.block_until_ready(ct1.c[0].data)
+    results["encrypt"] = (time.perf_counter() - t0) * 1e6
+    ct2 = bfv.encrypt(pt2)
+    results["add"] = _time(lambda: bfv.add(ct1, ct2).c[0].data, iters)
+    results["multiply"] = _time(lambda: bfv.multiply(ct1, ct2).c[0].data,
+                                iters)
+    results["square"] = _time(lambda: bfv.square(ct1).c[0].data, iters)
+    results["multiply_relin"] = _time(
+        lambda: bfv.multiply_relin(ct1, ct2).c[0].data, iters)
+    results["multiply_plain"] = _time(
+        lambda: bfv.multiply_plain(ct1, pt2).c[0].data, iters)
+    results["rotate_rows"] = _time(
+        lambda: bfv.rotate_rows(ct1, 1).c[0].data, iters)
+    results["rotate_columns"] = _time(
+        lambda: bfv.rotate_columns(ct1).c[0].data, iters)
+    t0 = time.perf_counter()
+    bfv.decrypt_decode(ct1)
+    results["decrypt_decode"] = (time.perf_counter() - t0) * 1e6
+    return results
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("scheme", choices=["ckks", "bgv", "all"], nargs="?",
+    ap.add_argument("scheme", choices=["ckks", "bgv", "bfv", "all"], nargs="?",
                     default="all")
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--levels", type=int, default=3)
@@ -144,6 +183,11 @@ def main(argv=None) -> None:
         lv = min(args.levels, 2)
         print(f"== BGV performance (n={args.n}, levels={lv}) ==")
         for op, us in bgv_performance_test(args.n, lv, args.iters).items():
+            print(f"Average {op}: {us:.0f} microseconds")
+    if args.scheme in ("bfv", "all"):
+        lv = min(args.levels, 2)
+        print(f"== BFV performance (n={args.n}, levels={lv}) ==")
+        for op, us in bfv_performance_test(args.n, lv, args.iters).items():
             print(f"Average {op}: {us:.0f} microseconds")
 
 

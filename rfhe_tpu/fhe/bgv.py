@@ -84,6 +84,7 @@ class BgvContext:
         self._galois: Dict[int, KeySwitchKey] = {}
         # modswitch constants: q_k^{-1} mod t per limb
         self.qk_inv_t = [pow(q, -1, self.t) for q in params.moduli]
+        self._crt64_plans = {}
         self._jits = {}
 
     def _jit(self, name, fn):
@@ -178,7 +179,11 @@ class BgvContext:
             self.pk.b[:lvl + 1], self.pk.a[:lvl + 1])
         return Ciphertext([RnsPoly(c0, True), RnsPoly(c1, True)], 1.0)
 
-    def decrypt_coeffs_t(self, ct: Ciphertext) -> np.ndarray:
+    def decrypt_coeffs_t(self, ct: Ciphertext, exact: bool = False
+                         ) -> np.ndarray:
+        """[c(s)]_Q mod t.  Default path reconstructs the small centered
+        coefficient m + t·e on-device (ops/crt64.py, exact for noise < 2^45);
+        exact=True uses the host object-int CRT."""
         lvl = ct.level
         plan = self.ctx.plan.slice(lvl + 1)
 
@@ -192,13 +197,26 @@ class BgvContext:
                 spow = u32.mont_mul(spow, s, q, qinv)
             return negacyclic_intt(acc, plan)
 
-        out = self._jit(("decrypt", ct.size, lvl), dec)(
-            [c.data for c in ct.c], self.sk.s_ntt[:lvl + 1])
-        coeffs = RnsPoly(out, False)
-        signed = rns_to_signed(np.asarray(coeffs.data),
-                               self.params.moduli[:lvl + 1])
         corr = ct.correction % self.t
-        return ((signed * corr) % self.t).astype(np.uint32)
+        if exact:
+            out = self._jit(("decrypt", ct.size, lvl), dec)(
+                [c.data for c in ct.c], self.sk.s_ntt[:lvl + 1])
+            signed = rns_to_signed(np.asarray(out),
+                                   self.params.moduli[:lvl + 1])
+            return ((signed * corr) % self.t).astype(np.uint32)
+        from ..ops.crt64 import Crt64Plan, crt_to_words, words_to_signed
+        if lvl not in self._crt64_plans:
+            self._crt64_plans[lvl] = Crt64Plan.make(
+                self.params.moduli[:lvl + 1])
+        cplan = self._crt64_plans[lvl]
+
+        def dec64(cs, s):
+            return crt_to_words(dec(cs, s), cplan)
+
+        hi, lo = self._jit(("decrypt64", ct.size, lvl), dec64)(
+            [c.data for c in ct.c], self.sk.s_ntt[:lvl + 1])
+        signed = words_to_signed(np.asarray(hi), np.asarray(lo))
+        return ((np.mod(signed, self.t) * corr) % self.t).astype(np.uint32)
 
     def decrypt_decode(self, ct: Ciphertext) -> np.ndarray:
         return self.decode(self.decrypt_coeffs_t(ct))

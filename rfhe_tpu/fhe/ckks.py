@@ -228,11 +228,47 @@ class CkksContext:
             [c.data for c in ct.c], self.sk.s_ntt[:lvl + 1])
         return RnsPoly(out, False)
 
-    def decrypt_decode(self, ct: Ciphertext) -> np.ndarray:
-        pt = self.decrypt(ct)
-        signed = rns_to_signed(np.asarray(pt.data),
-                               self.params.moduli[:ct.level + 1])
+    def decrypt_decode(self, ct: Ciphertext, exact: bool = False
+                       ) -> np.ndarray:
+        """Decrypt + decode.  Default path reconstructs the (small, centered)
+        plaintext coefficients on-device via fixed-point CRT (ops/crt64.py,
+        exact for |coeff| < 2^62 — i.e. scale·|m|+noise < 2^62); exact=True
+        falls back to the host object-int CRT for oversized coefficients."""
+        if exact:
+            pt = self.decrypt(ct)
+            signed = rns_to_signed(np.asarray(pt.data),
+                                   self.params.moduli[:ct.level + 1])
+            return decode(signed.astype(np.float64), self.params.n, ct.scale)
+        lvl = ct.level
+        plan = self.ctx.plan.slice(lvl + 1)
+        cplan = self._crt64_plan(lvl)
+
+        def dec64(cs, s):
+            from ..ops.crt64 import crt_to_words
+            q = plan.q_arr[:, None]
+            qinv = plan.qinv_arr[:, None]
+            acc = cs[0]
+            spow = s
+            for comp in cs[1:]:
+                acc = u32.add_mod(acc, u32.mont_mul(comp, spow, q, qinv), q)
+                spow = u32.mont_mul(spow, s, q, qinv)
+            from ..ops.ntt_pease import negacyclic_intt
+            return crt_to_words(negacyclic_intt(acc, plan), cplan)
+
+        hi, lo = self._jit(("decrypt64", ct.size, lvl), dec64)(
+            [c.data for c in ct.c], self.sk.s_ntt[:lvl + 1])
+        from ..ops.crt64 import words_to_signed
+        signed = words_to_signed(np.asarray(hi), np.asarray(lo))
         return decode(signed.astype(np.float64), self.params.n, ct.scale)
+
+    def _crt64_plan(self, lvl: int):
+        if not hasattr(self, "_crt64_plans"):
+            self._crt64_plans = {}
+        if lvl not in self._crt64_plans:
+            from ..ops.crt64 import Crt64Plan
+            self._crt64_plans[lvl] = Crt64Plan.make(
+                self.params.moduli[:lvl + 1])
+        return self._crt64_plans[lvl]
 
     # -- evaluator (raw impls; public wrappers below are jit-cached) --------
     def _add_impl(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:

@@ -51,6 +51,28 @@ class CkksParams:
 
 
 @dataclass(frozen=True)
+class BfvParams:
+    """BFV (scale-invariant) parameters: same chain shape as BGV — the
+    message rides the high bits as Δ·m, Δ = ⌊Q/t⌋ (reference's SEAL BFV perf
+    surface, profile_framewk/src/framewk.cpp:14-397)."""
+    n: int
+    moduli: Tuple[int, ...]
+    t: int                           # plaintext modulus, t ≡ 1 mod 2n for batching
+    sigma: float = 3.2
+
+    @classmethod
+    def make(cls, n: int = 4096, levels: int = 2, q_bits: int = 30,
+             t_bits: int = 16) -> "BfvParams":
+        moduli = make_prime_chain(n, [q_bits] * (levels + 1))
+        t = find_ntt_primes(n, t_bits, 1, negacyclic=True)[0]
+        return cls(n=n, moduli=tuple(moduli), t=t)
+
+    @property
+    def L(self) -> int:
+        return len(self.moduli)
+
+
+@dataclass(frozen=True)
 class BgvParams:
     n: int
     moduli: Tuple[int, ...]

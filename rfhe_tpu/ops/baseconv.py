@@ -41,6 +41,17 @@ class BaseConvPlan:
     @classmethod
     def make(cls, moduli_in: Sequence[int], moduli_out: Sequence[int]) -> "BaseConvPlan":
         W = np.array(base_conv_matrix(moduli_in, moduli_out), dtype=np.uint64)
+        return cls.from_matrix(W, moduli_in, moduli_out)
+
+    @classmethod
+    def from_matrix(cls, W: np.ndarray, moduli_in: Sequence[int],
+                    moduli_out: Sequence[int]) -> "BaseConvPlan":
+        """Plan for out[k] = Σ_j r_j · W[j,k] mod q_k with an explicit weight
+        matrix (entries already reduced mod q_k).  Used by the BEHZ BFV
+        conversions, which pre-scale residues by Q̂_j^{-1} mod q_j so the
+        conversion overflow stays < m_in (exactness-critical), unlike the
+        reference's folded-weight form (rfhe_framewk/src/baseConv.py:27-29)."""
+        W = np.asarray(W, dtype=np.uint64)
         maxbits = max(int(q).bit_length() for q in moduli_out)
         nd = -(-maxbits // _DIGIT_BITS)
         wd = np.stack(

@@ -1,4 +1,6 @@
-from rfhe_tpu.bench.perf_suite import ckks_performance_test, bgv_performance_test, MicroTest
+from rfhe_tpu.bench.perf_suite import (
+    ckks_performance_test, bgv_performance_test, bfv_performance_test,
+    MicroTest)
 
 
 def test_ckks_perf_suite_runs():
@@ -12,6 +14,13 @@ def test_bgv_perf_suite_runs():
     res = bgv_performance_test(n=256, levels=1, iters=2)
     for op in ("batch_encode", "multiply_relin", "rotate_rows",
                "rotate_columns"):
+        assert op in res and res[op] > 0
+
+
+def test_bfv_perf_suite_runs():
+    res = bfv_performance_test(n=256, levels=1, iters=2)
+    for op in ("batch_encode", "multiply", "square", "multiply_relin",
+               "rotate_rows", "rotate_columns"):
         assert op in res and res[op] > 0
 
 
