@@ -86,6 +86,14 @@ def ckks_performance_test(n: int = 4096, levels: int = 3,
     t0 = time.perf_counter()
     ckks.decrypt_decode(ct1)
     results["decrypt_decode"] = (time.perf_counter() - t0) * 1e6
+    # serialization rows (framewk.cpp times save/save+zlib/save+zstd; lzma
+    # stands in for zstd — not in this image)
+    from ..fhe import serialize as _ser
+    for comp in ("none", "zlib", "lzma"):
+        key = "serialize" if comp == "none" else f"serialize_{comp}"
+        results[key] = _time(
+            lambda: len(_ser.serialize_ciphertext(ct1, comp)), iters,
+            sync=lambda _:None)
     return results
 
 

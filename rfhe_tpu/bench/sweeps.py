@@ -111,7 +111,7 @@ def sweep_barrett_fold(args) -> None:
     w.writerow(["fold_width", "use_t", "use_sn", "use_final",
                 "detection_rate", "TP", "FP", "TN", "FN"])
     schemes = [(True, False, False), (False, True, False), (False, False, True)]
-    for fw in range(2, 25, 2):
+    for fw in range(args.fw_min, args.fw_max + 1, args.fw_step):
         for sc in schemes:
             res = barrett_scheme_campaign(
                 fw, sc, args.trials, pbits=37, vec_len=args.vec,
@@ -308,6 +308,9 @@ def main(argv=None) -> None:
     ap.add_argument("--pbits-min", type=int, default=2)
     ap.add_argument("--pbits-max", type=int, default=30)
     ap.add_argument("--pbits-step", type=int, default=2)
+    ap.add_argument("--fw-min", type=int, default=2)
+    ap.add_argument("--fw-max", type=int, default=24)
+    ap.add_argument("--fw-step", type=int, default=2)
     ap.add_argument("--qbits-min", type=int, default=10)
     ap.add_argument("--qbits-max", type=int, default=30)
     ap.add_argument("--qbits-step", type=int, default=2)

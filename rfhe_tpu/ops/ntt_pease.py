@@ -199,14 +199,52 @@ def intt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
     return jax.lax.fori_loop(0, log_n, body, x)
 
 
+import os as _os
+
+_PALLAS_ENABLED = _os.environ.get("RFHE_TPU_PALLAS_NTT", "1") != "0"
+
+
+def _pallas_plan_for(plan: "PeaseNttPlan"):
+    """Fused-kernel plan for the same (n, primes); None when the Pallas path
+    doesn't apply (CPU backend, tiny n, or disabled via env)."""
+    if not _PALLAS_ENABLED or plan.n < 256:
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    primes = tuple(int(q) for q in np.asarray(plan.q_arr))
+    return _pallas_plan_cached(plan.n, primes)
+
+
+@lru_cache(maxsize=64)
+def _pallas_plan_cached(n: int, primes: tuple):
+    from . import pallas_ntt
+    return pallas_ntt.PallasNttPlan.make(n, primes)
+
+
 def negacyclic_ntt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
-    """ψ-premultiply (entering the Montgomery domain) + forward pipeline."""
+    """ψ-premultiply (entering the Montgomery domain) + forward pipeline.
+
+    On TPU this dispatches to the fused Pallas kernel (ops/pallas_ntt.py,
+    bit-exact with the XLA pipeline below); set RFHE_TPU_PALLAS_NTT=0 to
+    force the XLA Pease path."""
+    pp = _pallas_plan_for(plan)
+    if pp is not None:
+        from . import pallas_ntt
+        x3 = x[None] if x.ndim == 2 else x
+        y = pallas_ntt.negacyclic_ntt(x3, pp)
+        return y[0] if x.ndim == 2 else y
     xm = mul_mod_shoup(x, plan.psi_mont, plan.psi_mont_shoup, plan.qb(1))
     return ntt(xm, plan)
 
 
 def negacyclic_intt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
     """Inverse pipeline + ψ^{-1}·n^{-1} exit (removes Montgomery R)."""
+    pp = _pallas_plan_for(plan)
+    if pp is not None:
+        from . import pallas_ntt
+        x3 = x[None] if x.ndim == 2 else x
+        y = pallas_ntt.negacyclic_intt(x3, pp)
+        return y[0] if x.ndim == 2 else y
     y = intt(x, plan)
     return mont_mul(y, plan.psi_inv_n, plan.qb(1), plan.qinvb(1))
 

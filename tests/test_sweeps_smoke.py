@@ -33,5 +33,6 @@ def test_sweep_pbits(tmp_path):
 def test_sweep_outer_modes_run(tmp_path):
     # barrett_fold covers the reduction-campaign path
     sweeps.main(["barrett_fold", "--out", str(tmp_path), "--trials", "10",
-                 "--vec", "32"])
+                 "--vec", "32", "--fw-min", "4", "--fw-max", "8",
+                 "--fw-step", "4"])
     assert list(tmp_path.iterdir())
