@@ -18,7 +18,10 @@ inverse twiddles; the factor n is removed by the caller's exit table.
 """
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -199,17 +202,19 @@ def intt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
     return jax.lax.fori_loop(0, log_n, body, x)
 
 
-import os as _os
-
-_PALLAS_ENABLED = _os.environ.get("RFHE_TPU_PALLAS_NTT", "1") != "0"
+# Fused Pallas NTT dispatch is opt-in (RFHE_TPU_PALLAS_NTT=1): the Mosaic
+# compile of ops/pallas_ntt.py has been observed to hang on some TPU
+# runtimes (PARITY.md "Known gaps"); the default production path is the XLA
+# Pease pipeline below.
+_PALLAS_ENABLED = _os.environ.get("RFHE_TPU_PALLAS_NTT", "0") == "1"
 
 
 def _pallas_plan_for(plan: "PeaseNttPlan"):
     """Fused-kernel plan for the same (n, primes); None when the Pallas path
-    doesn't apply (CPU backend, tiny n, or disabled via env)."""
+    doesn't apply (non-TPU backend, tiny n, or not enabled via env)."""
     if not _PALLAS_ENABLED or plan.n < 256:
         return None
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":
         return None
     primes = tuple(int(q) for q in np.asarray(plan.q_arr))
     return _pallas_plan_cached(plan.n, primes)
@@ -247,9 +252,6 @@ def negacyclic_intt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
         return y[0] if x.ndim == 2 else y
     y = intt(x, plan)
     return mont_mul(y, plan.psi_inv_n, plan.qb(1), plan.qinvb(1))
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=1024)
