@@ -152,6 +152,8 @@ def inject_kind(kind: str, key, x: jnp.ndarray, q: int, bitwidth: int) -> jnp.nd
         return inject_mbu(key, x, q, bitwidth)
     if kind == "MCF-CTE":
         return inject_cte(key, x, q, bitwidth)
-    if kind == "MOF1":
+    if kind == "MOF1" or kind == "MLF":
+        # MLF (multi-line fault, relia_ntt_sim.cpp:129) randomizes the value
+        # uniformly in [0, q) — identical to MOF1 at element granularity
         return inject_mof1(key, x, q)
     raise ValueError(f"unknown fault kind {kind}")
