@@ -51,9 +51,14 @@ u64 thread_seed(u64 seed, int tid) {
 // radix-2 in-place NTT with op-indexed injection (butterfly-mult ops)
 // ---------------------------------------------------------------------------
 
+// Injection plan: up to 2 (op, kind) pairs per trial — the reference's
+// multi-fault scenarios (relia_ntt_sim.cpp:401-405) inject at most two
+// faults, all targeting distinct ops within one stage (:441-455).
+// kind: 0 SBF, 1 DBF (distinct bits), 2 MLF (randomize in [0, q)).
 struct Inject {
-  long long op = -1;  // which butterfly/twiddle mult to corrupt
-  int kind = 0;       // 0 SBF, 1 DBF, 2 MOF1
+  long long ops[2] = {-1, -1};
+  int kinds[2] = {0, 0};
+  int n = 0;
 };
 
 u64 inject_val(u64 v, int kind, u64 q, Rng &rng) {
@@ -62,12 +67,19 @@ u64 inject_val(u64 v, int kind, u64 q, Rng &rng) {
     case 0:
       return (v ^ (1ULL << rng.below(bits))) % q;
     case 1: {
-      u64 m = (1ULL << rng.below(bits)) | (1ULL << rng.below(bits));
-      return (v ^ m) % q;
+      u64 b1 = rng.below(bits), b2 = rng.below(bits);
+      while (b2 == b1) b2 = rng.below(bits);  // relia_ntt_sim.cpp:123-125
+      return (v ^ (1ULL << b1) ^ (1ULL << b2)) % q;
     }
     default:
       return rng.below(q);
   }
+}
+
+u64 apply_plan(u64 v, long long op_idx, const Inject &inj, u64 q, Rng &rng) {
+  for (int i = 0; i < inj.n; ++i)
+    if (inj.ops[i] == op_idx) v = inject_val(v, inj.kinds[i], q, rng);
+  return v;
 }
 
 // natural-order DIF-free iterative CT NTT (bit-reverse + butterflies),
@@ -92,10 +104,9 @@ long long ntt_inplace(std::vector<u64> &A, u64 root, u64 q,
       for (size_t k = i; k < i + half; ++k) {
         u64 u = A[k];
         u64 v = (u64)(((u128)A[k + half] * w) % q);
-        if (op_idx == inj.op) {
-          v = inject_val(v, inj.kind, q, rng);
-          if (injected_hit) *injected_hit = true;
-        }
+        u64 v2 = apply_plan(v, op_idx, inj, q, rng);
+        if (v2 != v && injected_hit) *injected_hit = true;
+        v = v2;
         ++op_idx;
         A[k] = (u + v) % q;
         A[k + half] = (u + q - v) % q;
@@ -111,12 +122,16 @@ long long ntt_inplace(std::vector<u64> &A, u64 root, u64 q,
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Protected four-step NTT campaign at BUTTERFLY granularity
-// (relia_ntt_sim.py:223-315 semantics: 4 detectors, op-indexed single fault)
-// out[0..4] = detected, intra_catch, inter_catch, batch_catch, trials_run
+// Protected four-step NTT campaign at BUTTERFLY granularity with multi-fault
+// scenarios (relia_ntt_sim.cpp:401-466 semantics: 4 detectors, op-indexed
+// fault plans of 1-2 faults, optionally pinned to one stage's op range).
+// kinds[0..nkinds-1]: 0 SBF, 1 DBF, 2 MLF.  target_stage: -1 = whole
+// transform, 0/1/2 = stage op range (the reference's per-stage rows).
+// out[0..6] = detected, batch1, intra, inter, batch2 catches, trials_run
 // ---------------------------------------------------------------------------
-void four_step_mc(long long trials, long long N, u64 q, u64 g_root,
-                  int fold_width, int kind, u64 seed, long long *out) {
+void four_step_mc_multi(long long trials, long long N, u64 q, u64 g_root,
+                        int fold_width, const int *kinds, int nkinds,
+                        int target_stage, u64 seed, long long *out) {
   long long n1 = 1;
   while (n1 * n1 < N) n1 <<= 1;
   if (n1 * n1 != N) n1 >>= 1;
@@ -133,18 +148,22 @@ void four_step_mc(long long trials, long long N, u64 q, u64 g_root,
   for (long long m = 2; m <= n1; m <<= 1) s2 += n1 / 2;
   s2 *= n2;
   const long long total_ops = s1 + tw + s2;
+  // stage op ranges (relia_ntt_sim.cpp dry-run OpRanges)
+  long long range_lo = 0, range_len = total_ops;
+  if (target_stage == 0) { range_lo = 0; range_len = s1; }
+  else if (target_stage == 1) { range_lo = s1; range_len = tw; }
+  else if (target_stage == 2) { range_lo = s1 + tw; range_len = s2; }
 
-  long long detected = 0, intra_c = 0, inter_c = 0, batch_c = 0;
+  long long detected = 0, b1_c = 0, intra_c = 0, inter_c = 0, b2_c = 0;
 
 #ifdef _OPENMP
-#pragma omp parallel reduction(+ : detected, intra_c, inter_c, batch_c)
+#pragma omp parallel reduction(+ : detected, b1_c, intra_c, inter_c, b2_c)
 #endif
   {
 #ifdef _OPENMP
     int tid = omp_get_thread_num();
-    int nthreads = omp_get_num_threads();
 #else
-    int tid = 0, nthreads = 1;
+    int tid = 0;
 #endif
     Rng rng(thread_seed(seed, tid));
 #ifdef _OPENMP
@@ -152,8 +171,18 @@ void four_step_mc(long long trials, long long N, u64 q, u64 g_root,
 #endif
     for (long long t = 0; t < trials; ++t) {
       Inject inj;
-      inj.op = (long long)rng.below((u64)total_ops);
-      inj.kind = kind;
+      inj.n = nkinds > 2 ? 2 : nkinds;
+      for (int f = 0; f < inj.n; ++f) {
+        long long target;
+        bool dup;
+        do {  // distinct ops (relia_ntt_sim.cpp:444-448)
+          target = range_lo + (long long)rng.below((u64)range_len);
+          dup = false;
+          for (int p = 0; p < f; ++p) dup |= (inj.ops[p] == target);
+        } while (dup);
+        inj.ops[f] = target;
+        inj.kinds[f] = kinds[f];
+      }
       // data: A[r][c] with a[c*n2 + r] layout (relia_ntt_sim.py:232-233)
       std::vector<std::vector<u64>> A((size_t)n2,
                                       std::vector<u64>((size_t)n1));
@@ -207,8 +236,7 @@ void four_step_mc(long long trials, long long N, u64 q, u64 g_root,
         u64 val = 1;
         for (long long c = 0; c < n1; ++c) {
           u64 vt = (u64)(((u128)A[(size_t)r][(size_t)c] * val) % q);
-          u64 v = vt;
-          if (op == inj.op) v = inject_val(v, inj.kind, q, rng);
+          u64 v = apply_plan(vt, op, inj, q, rng);
           ++op;
           if (v != vt && (v % FOLD) != (vt % FOLD)) intra = true;
           A[(size_t)r][(size_t)c] = v;
@@ -242,18 +270,20 @@ void four_step_mc(long long trials, long long N, u64 q, u64 g_root,
       bool ok_b2 = proj_ok(Bin, A, w_n2, false);
       bool det = !ok_b1 || intra || !inter_ok || !ok_b2;
       if (det) {
-        ++detected;
+        ++detected;  // per-detector attribution (relia_ntt_sim.cpp:458-462)
+        if (!ok_b1) ++b1_c;
         if (intra) ++intra_c;
-        else if (!inter_ok) ++inter_c;
-        else ++batch_c;
+        if (!inter_ok) ++inter_c;
+        if (!ok_b2) ++b2_c;
       }
     }
   }
   out[0] = detected;
-  out[1] = intra_c;
-  out[2] = inter_c;
-  out[3] = batch_c;
-  out[4] = trials;
+  out[1] = b1_c;
+  out[2] = intra_c;
+  out[3] = inter_c;
+  out[4] = b2_c;
+  out[5] = trials;
 }
 
 // ---------------------------------------------------------------------------

@@ -124,26 +124,44 @@ def _op_counts(n1: int, n2: int) -> Tuple[int, int, int]:
     return s1, tw, s2
 
 
-def _four_step_trial(key, kind: str, plan: FourStepPlan, fold_width: int):
+def _four_step_trial(key, kind: str, plan: FourStepPlan, fold_width: int,
+                     target_stage: int | None = None):
+    """One protected four-step NTT trial with the scenario's fault list
+    injected into one stage (relia_ntt_sim.cpp:441-455: all faults of a
+    scenario land in the SAME stage, at distinct targets).
+
+    kind: a SCENARIO_KINDS name — single faults SBF/DBF/MLF (MOF1 alias) or
+    multi-fault combos SBF+SBF, SBF+DBF, MLF+SBF, MLF+DBF, MLF+MLF.
+    target_stage: 0/1/2 pins the stage (the reference's per-stage scenario
+    rows); None samples it per trial weighted by butterfly-op counts
+    (relia_ntt_sim.py behavior)."""
+    from .inject import SCENARIO_KINDS, inject_elements
+    kind_codes = SCENARIO_KINDS[kind]
     q = plan.q
     bw = q.bit_length()
     ks = jax.random.split(key, 8)
     a = jax.random.randint(ks[0], (plan.n,), 0, q, dtype=jnp.uint32)
     A = a.reshape(plan.n2, plan.n1)
 
-    s1, tw, s2 = _op_counts(plan.n1, plan.n2)
-    total = s1 + tw + s2
-    op = jax.random.randint(ks[1], (), 0, total)
-    stage = jnp.where(op < s1, 0, jnp.where(op < s1 + tw, 1, 2))
+    if target_stage is None:
+        s1, tw, s2 = _op_counts(plan.n1, plan.n2)
+        op = jax.random.randint(ks[1], (), 0, s1 + tw + s2)
+        stage = jnp.where(op < s1, 0, jnp.where(op < s1 + tw, 1, 2))
+    else:
+        stage = jnp.int32(target_stage)
 
     B1 = matmul_mod(plan.W2, A, plan.digit)
-    B1c = jnp.where(stage == 0, inject_kind(kind, ks[2], B1, q, bw), B1)
+    B1c = jnp.where(stage == 0, inject_elements(kind_codes, ks[2], B1, q, bw),
+                    B1)
 
     B2_true = mul_mod_shoup(B1c, plan.T, plan.T_shoup, q)
-    B2c = jnp.where(stage == 1, inject_kind(kind, ks[3], B2_true, q, bw), B2_true)
+    B2c = jnp.where(stage == 1,
+                    inject_elements(kind_codes, ks[3], B2_true, q, bw),
+                    B2_true)
 
     Y = matmul_mod(B2c, plan.W1T, plan.digit)
-    Yc = jnp.where(stage == 2, inject_kind(kind, ks[4], Y, q, bw), Y)
+    Yc = jnp.where(stage == 2, inject_elements(kind_codes, ks[4], Y, q, bw),
+                   Y)
 
     ok_b1 = stage1_projection_check(A, B1c, plan.W2, plan.digit, plan.arith, ks[5])
     # intra: collision model over the twiddle stage (relia_ntt_sim.py:164-171)
@@ -154,29 +172,40 @@ def _four_step_trial(key, kind: str, plan: FourStepPlan, fold_width: int):
     ok_b2 = stage2_projection_check(B2c, Yc, plan.W1T, plan.digit, plan.arith, ks[7])
 
     detected = (~ok_b1) | intra | (~inter_ok) | (~ok_b2)
-    # attribution priority: intra, then inter, then batch (:303-311)
-    attr = jnp.where(intra, 0, jnp.where(~inter_ok, 1, 2))
-    return stage, detected, attr
+    dets = jnp.stack([~ok_b1, intra, ~inter_ok, ~ok_b2])
+    return stage, detected, dets
+
+
+#: scenario table of the flagship simulator (relia_ntt_sim.cpp:401-405)
+FOUR_STEP_SCENARIOS = ("SBF", "DBF", "MLF", "SBF+SBF", "SBF+DBF",
+                       "MLF+SBF", "MLF+DBF", "MLF+MLF")
 
 
 def four_step_ntt_campaign(kind: str, trials: int, n: int, q: int,
                            fold_width: int = 24, seed: int = 42,
-                           plan: FourStepPlan | None = None) -> Dict[str, object]:
+                           plan: FourStepPlan | None = None,
+                           target_stage: int | None = None) -> Dict[str, object]:
     """Detection/miss rates for the flagship protected four-step NTT
-    (relia_ntt_sim.py:286-315)."""
+    (relia_ntt_sim.py:286-315; multi-fault scenario rows and per-detector
+    attribution counters match relia_ntt_sim.cpp:456-466)."""
     if plan is None:
         plan = FourStepPlan.make(n, q)
-    trial = partial(_four_step_trial, kind=kind, plan=plan, fold_width=fold_width)
+    trial = partial(_four_step_trial, kind=kind, plan=plan,
+                    fold_width=fold_width, target_stage=target_stage)
     keys = jax.random.split(jax.random.PRNGKey(seed), trials)
-    stages, detected, attr = jax.jit(jax.vmap(lambda k: trial(k)))(keys)
+    stages, detected, dets = jax.jit(jax.vmap(lambda k: trial(k)))(keys)
     stages = np.asarray(stages)
     detected = np.asarray(detected)
-    attr = np.asarray(attr)
+    dets = np.asarray(dets)                      # (trials, 4): b1/intra/inter/b2
     det_rate = detected.mean()
     stats = {
-        "intra_catch": int((detected & (attr == 0)).sum()),
-        "inter_catch": int((detected & (attr == 1)).sum()),
-        "batch_catch": int((detected & (attr == 2)).sum()),
+        # reference counters: each detector that fired among detected trials
+        "batch1_catch": int((detected & dets[:, 0]).sum()),
+        "intra_catch": int((detected & dets[:, 1]).sum()),
+        "inter_catch": int((detected & dets[:, 2]).sum()),
+        "batch2_catch": int((detected & dets[:, 3]).sum()),
+        # legacy priority attribution (intra > inter > batch)
+        "batch_catch": int((detected & ~dets[:, 1] & ~dets[:, 2]).sum()),
     }
     per_stage_miss = np.array([
         (~detected)[stages == s].mean() if (stages == s).any() else 0.0
@@ -188,3 +217,21 @@ def four_step_ntt_campaign(kind: str, trials: int, n: int, q: int,
         "stats": stats,
         "per_stage_miss": per_stage_miss,
     }
+
+
+def four_step_scenario_table(trials: int, n: int, q: int,
+                             fold_width: int = 24, seed: int = 42) -> list:
+    """The reference's full scenario × stage table
+    (reliaNTT_test_result.txt rows): one row per (scenario, target stage)."""
+    plan = FourStepPlan.make(n, q)
+    rows = []
+    for sc in FOUR_STEP_SCENARIOS:
+        for stage in (0, 1, 2):
+            res = four_step_ntt_campaign(sc, trials, n, q, fold_width,
+                                         seed, plan, target_stage=stage)
+            rows.append({
+                "scenario": sc, "stage": stage,
+                "det_rate": res["det_rate"], "miss_rate": res["miss_rate"],
+                **res["stats"],
+            })
+    return rows

@@ -142,6 +142,65 @@ KIND_SBF = "SBF"
 KIND_DBF = "DBF"
 KIND_MOF1 = "MOF1"
 
+# integer kind codes shared by op-granularity injectors (the reference's
+# FaultType enum, relia_ntt_sim.cpp:109-114 — NONE/SBF/DBF/MLF; DELTA is an
+# rfhe_tpu extension used by tests to construct checksum cancellations)
+CODE_NONE, CODE_SBF, CODE_DBF, CODE_MLF, CODE_DELTA = 0, 1, 2, 3, 4
+SCENARIO_KINDS = {
+    "SBF": (CODE_SBF,), "DBF": (CODE_DBF,), "MLF": (CODE_MLF,),
+    "MOF1": (CODE_MLF,),          # element randomization == MLF at this grain
+    "SBF+SBF": (CODE_SBF, CODE_SBF), "SBF+DBF": (CODE_SBF, CODE_DBF),
+    "MLF+SBF": (CODE_MLF, CODE_SBF), "MLF+DBF": (CODE_MLF, CODE_DBF),
+    "MLF+MLF": (CODE_MLF, CODE_MLF),
+}
+
+
+def inject_value(v: jnp.ndarray, kind, key, q: int, bits: int,
+                 delta=0) -> jnp.ndarray:
+    """Corrupt one scalar value by traced-or-static kind code; mirrors
+    inject_one (relia_ntt_sim.cpp:118-132): SBF flips one random bit (<bits)
+    then wraps mod q, DBF two distinct bits, MLF randomizes in [0, q),
+    DELTA adds `delta` mod q."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    b1 = jax.random.randint(k1, (), 0, bits, dtype=jnp.uint32)
+    b2r = jax.random.randint(k2, (), 0, bits - 1, dtype=jnp.uint32)
+    b2 = jnp.where(b2r >= b1, b2r + 1, b2r)
+    sbf = _wrap(v ^ (jnp.uint32(1) << b1), q)
+    dbf = _wrap(v ^ (jnp.uint32(1) << b1) ^ (jnp.uint32(1) << b2), q)
+    mlf = jax.random.randint(k3, (), 0, q, dtype=jnp.uint32)
+    s = v + jnp.uint32(delta)
+    dl = jnp.where(s >= q, s - jnp.uint32(q), s)
+    return jnp.select(
+        [jnp.equal(kind, CODE_SBF), jnp.equal(kind, CODE_DBF),
+         jnp.equal(kind, CODE_MLF), jnp.equal(kind, CODE_DELTA)],
+        [sbf, dbf, mlf, dl], v)
+
+
+def sample_distinct_indices(key, count: int, total) -> jnp.ndarray:
+    """count ∈ {1, 2} distinct uniform indices in [0, total) (the reference
+    resamples until distinct, relia_ntt_sim.cpp:441-447)."""
+    if count == 1:
+        return jax.random.randint(key, (1,), 0, total)
+    assert count == 2, "reference scenarios inject at most 2 faults"
+    k1, k2 = jax.random.split(key)
+    o1 = jax.random.randint(k1, (), 0, total)
+    o2 = jax.random.randint(k2, (), 0, total - 1)
+    o2 = jnp.where(o2 >= o1, o2 + 1, o2)
+    return jnp.stack([o1, o2])
+
+
+def inject_elements(kind_codes, key, x: jnp.ndarray, q: int,
+                    bits: int) -> jnp.ndarray:
+    """Corrupt len(kind_codes) DISTINCT elements of x (multi-fault scenarios
+    at storage granularity)."""
+    flat = x.reshape(-1)
+    ki, *kv = jax.random.split(key, len(kind_codes) + 1)
+    idxs = sample_distinct_indices(ki, len(kind_codes), flat.size)
+    for j, kc in enumerate(kind_codes):
+        v = inject_value(flat[idxs[j]], kc, kv[j], q, bits)
+        flat = flat.at[idxs[j]].set(v)
+    return flat.reshape(x.shape)
+
 
 def inject_kind(kind: str, key, x: jnp.ndarray, q: int, bitwidth: int) -> jnp.ndarray:
     if kind == "SBF" or kind == "SCF-BF" or kind == "MCF-PPE":

@@ -42,9 +42,12 @@ import numpy as np
 from ..ops.modring import ModArith
 from ..ops.ntt import NttPlan, ntt
 from ..ops.u32 import add_mod, sub_mod, mul_mod_shoup
-from .inject import inject_kind
+from .inject import (
+    CODE_DBF, CODE_DELTA, CODE_MLF, CODE_NONE, CODE_SBF, inject_kind,
+    inject_value, sample_distinct_indices)
 
-KIND_NONE, KIND_SBF, KIND_DBF, KIND_MLF, KIND_DELTA = 0, 1, 2, 3, 4
+KIND_NONE, KIND_SBF, KIND_DBF, KIND_MLF, KIND_DELTA = (
+    CODE_NONE, CODE_SBF, CODE_DBF, CODE_MLF, CODE_DELTA)
 
 KIND_CODES = {"SBF": KIND_SBF, "DBF": KIND_DBF, "MLF": KIND_MLF,
               "DELTA": KIND_DELTA}
@@ -64,29 +67,6 @@ def lazy_num_buckets(n: int) -> int:
     Also clamped to n/2 so every bucket sees at least one op per stage."""
     b = 1 << ((n.bit_length() - 1) // 2)
     return max(1, min(b, n // 2))
-
-
-def _wrap_q(v: jnp.ndarray, q: int) -> jnp.ndarray:
-    # flipped values are < 2^bitlen(q) < 2q: one conditional subtract = % q
-    return jnp.where(v >= q, v - jnp.uint32(q), v)
-
-
-def _inject_value(v: jnp.ndarray, kind, key, delta, q: int,
-                  bits: int) -> jnp.ndarray:
-    """One corrupted butterfly product (scalar), selected by traced kind code.
-    Mirrors inject_one (non_four_step_ntt_sim.cpp:118-132)."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    b1 = jax.random.randint(k1, (), 0, bits, dtype=jnp.uint32)
-    b2r = jax.random.randint(k2, (), 0, bits - 1, dtype=jnp.uint32)
-    b2 = jnp.where(b2r >= b1, b2r + 1, b2r)       # distinct second bit
-    sbf = _wrap_q(v ^ (jnp.uint32(1) << b1), q)
-    dbf = _wrap_q(v ^ (jnp.uint32(1) << b1) ^ (jnp.uint32(1) << b2), q)
-    mlf = jax.random.randint(k3, (), 0, q, dtype=jnp.uint32)
-    dl = add_mod(v, jnp.uint32(delta), q)
-    return jnp.select(
-        [kind == KIND_SBF, kind == KIND_DBF, kind == KIND_MLF,
-         kind == KIND_DELTA],
-        [sbf, dbf, mlf, dl], v)
 
 
 def _fold_buckets(v_flat: jnp.ndarray, B: int, q: int) -> jnp.ndarray:
@@ -162,8 +142,8 @@ def ntt_standard_lazy(
             in_stage = (local >= 0) & (local < hops)
             lc = jnp.clip(local, 0, hops - 1)
             delta = mult_deltas[f] if mult_deltas is not None else 0
-            newv = _inject_value(v_flat[lc], mult_kinds[f], keys[f], delta,
-                                 q, bits)
+            newv = inject_value(v_flat[lc], mult_kinds[f], keys[f], q, bits,
+                                delta=delta)
             v_flat = jnp.where(in_stage, v_flat.at[lc].set(newv), v_flat)
         bucket_out = add_mod(bucket_out, _fold_buckets(v_flat, B, q), q)
         bucket_ref = add_mod(bucket_ref, _fold_buckets(vt_flat, B, q), q)
@@ -194,18 +174,6 @@ def abft_global_check(x: jnp.ndarray, y: jnp.ndarray, plan: NttPlan,
     return arith.dot(w_hat, x) == arith.dot(w, y)
 
 
-def _sample_distinct_ops(key, count: int, total: int) -> jnp.ndarray:
-    """count distinct uniform indices in [0, total) (count ∈ {1, 2};
-    the reference resamples until distinct, :301-305)."""
-    if count == 1:
-        return jax.random.randint(key, (1,), 0, total)
-    k1, k2 = jax.random.split(key)
-    o1 = jax.random.randint(k1, (), 0, total)
-    o2 = jax.random.randint(k2, (), 0, total - 1)
-    o2 = jnp.where(o2 >= o1, o2 + 1, o2)
-    return jnp.stack([o1, o2])
-
-
 def standard_ntt_campaign(scenario: str, target: str, trials: int, n: int,
                           q: int, seed: int = 42) -> Dict:
     """Monte-Carlo control campaign.
@@ -228,7 +196,7 @@ def standard_ntt_campaign(scenario: str, target: str, trials: int, n: int,
         x = jax.random.randint(ks[0], (n,), 0, q, dtype=jnp.uint32)
         y_clean = ntt(x, plan)
         if target == "mult":
-            ops = _sample_distinct_ops(ks[1], len(kinds), total_ops)
+            ops = sample_distinct_indices(ks[1], len(kinds), total_ops)
             y, lazy_ok = ntt_standard_lazy(
                 x, plan, ks[2], mult_ops=ops, mult_kinds=kind_codes)
         else:

@@ -18,7 +18,14 @@ _LIB = Path(__file__).resolve().parent.parent / "native" / "librfhe_mc.so"
 
 FAULT_IDS = {"SCF-BF": 0, "SCF-MBU": 1, "MCF-PPE": 2, "MCF-CTE": 3,
              "MCF-CLE": 4}
-KIND_IDS = {"SBF": 0, "DBF": 1, "MOF1": 2}
+KIND_IDS = {"SBF": 0, "DBF": 1, "MOF1": 2, "MLF": 2}
+
+#: scenario name -> native kind-code list (relia_ntt_sim.cpp:401-405)
+SCENARIOS = {
+    "SBF": [0], "DBF": [1], "MLF": [2], "MOF1": [2],
+    "SBF+SBF": [0, 0], "SBF+DBF": [0, 1],
+    "MLF+SBF": [2, 0], "MLF+DBF": [2, 1], "MLF+MLF": [2, 2],
+}
 
 
 def build(force: bool = False) -> Path:
@@ -34,9 +41,10 @@ def build(force: bool = False) -> Path:
 @lru_cache(maxsize=1)
 def _lib() -> ctypes.CDLL:
     lib = ctypes.CDLL(str(build()))
-    lib.four_step_mc.argtypes = [
+    lib.four_step_mc_multi.argtypes = [
         ctypes.c_longlong, ctypes.c_longlong, ctypes.c_uint64,
-        ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_longlong)]
     lib.three_stage_mc.argtypes = [
         ctypes.c_longlong, ctypes.c_longlong, ctypes.c_uint64, ctypes.c_int,
@@ -45,20 +53,46 @@ def _lib() -> ctypes.CDLL:
 
 
 def four_step_mc(kind: str, trials: int, n: int, q: int,
-                 fold_width: int = 24, seed: int = 42) -> Dict:
+                 fold_width: int = 24, seed: int = 42,
+                 target_stage: int | None = None) -> Dict:
     """Protected four-step NTT MC at butterfly-op granularity
-    (relia_ntt_sim semantics; native OpenMP)."""
+    (relia_ntt_sim semantics; native OpenMP).
+
+    kind: a SCENARIOS name — single faults (SBF/DBF/MLF) or the reference's
+    multi-fault combos (SBF+SBF … MLF+MLF), all faults at distinct ops.
+    target_stage: None = anywhere in the transform; 0/1/2 pins the stage's
+    op range (the reference's per-stage scenario rows)."""
     from .numth import primitive_root
     g = primitive_root(q)
-    out = (ctypes.c_longlong * 5)()
-    _lib().four_step_mc(trials, n, q, g, fold_width, KIND_IDS[kind], seed, out)
+    codes = SCENARIOS[kind]
+    arr = (ctypes.c_int * len(codes))(*codes)
+    out = (ctypes.c_longlong * 6)()
+    _lib().four_step_mc_multi(
+        trials, n, q, g, fold_width, arr, len(codes),
+        -1 if target_stage is None else target_stage, seed, out)
     detected = out[0]
     return {
         "det_rate": detected / trials,
         "miss_rate": 1.0 - detected / trials,
-        "stats": {"intra_catch": out[1], "inter_catch": out[2],
-                  "batch_catch": out[3]},
+        "stats": {"batch1_catch": out[1], "intra_catch": out[2],
+                  "inter_catch": out[3], "batch2_catch": out[4],
+                  "batch_catch": out[1] + out[4]},
     }
+
+
+def four_step_scenario_table(trials: int, n: int, q: int,
+                             fold_width: int = 24, seed: int = 42) -> list:
+    """Full scenario × stage table (reliaNTT_test_result.txt layout)."""
+    rows = []
+    for sc in ("SBF", "DBF", "MLF", "SBF+SBF", "SBF+DBF",
+               "MLF+SBF", "MLF+DBF", "MLF+MLF"):
+        for stage in (0, 1, 2):
+            res = four_step_mc(sc, trials, n, q, fold_width, seed,
+                               target_stage=stage)
+            rows.append({"scenario": sc, "stage": stage,
+                         "det_rate": res["det_rate"],
+                         "miss_rate": res["miss_rate"], **res["stats"]})
+    return rows
 
 
 def three_stage_mc(ftype: str, trials: int, S: int, P: int, W: int,

@@ -52,3 +52,31 @@ def test_four_step_campaign_mof1():
     # otherwise near-certain
     assert res["miss_rate"] < 0.02
     assert res["stats"]["intra_catch"] > 0
+
+
+def test_four_step_multifault_scenarios_stage_targeted():
+    """The reference's multi-fault rows (reliaNTT_test_result.txt:31-70):
+    SBF+SBF misses ~2/q on matmul stages, 0 on the twiddle stage."""
+    q = 769
+    res1 = four_step_ntt_campaign("SBF+SBF", trials=2000, n=64, q=q,
+                                  seed=11, target_stage=1)
+    assert res1["miss_rate"] == 0.0          # twiddle intra fold never misses
+    assert res1["stats"]["intra_catch"] > 0
+    res0 = four_step_ntt_campaign("SBF+SBF", trials=2000, n=64, q=q,
+                                  seed=12, target_stage=0)
+    assert res0["miss_rate"] < 0.02          # ~2/q = 0.0026
+    assert res0["stats"]["batch1_catch"] > 1900
+
+
+def test_four_step_mlf_runs():
+    q = 769
+    res = four_step_ntt_campaign("MLF", trials=500, n=64, q=q, seed=13)
+    assert res["miss_rate"] < 0.02
+
+
+def test_four_step_scenario_table_shape():
+    from rfhe_tpu.faults.campaign import (FOUR_STEP_SCENARIOS,
+                                          four_step_scenario_table)
+    rows = four_step_scenario_table(trials=50, n=16, q=97, seed=3)
+    assert len(rows) == len(FOUR_STEP_SCENARIOS) * 3
+    assert all(0.0 <= r["miss_rate"] <= 1.0 for r in rows)

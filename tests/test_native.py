@@ -32,3 +32,20 @@ def test_native_mof1_randomized():
     res = native.four_step_mc("MOF1", 50_000, 64, 769, 24, seed=3)
     # randomized faults collide with prob ~1/q per stage
     assert res["miss_rate"] < 0.02
+
+
+def test_native_multifault_scenarios():
+    """Stage-targeted multi-fault parity with the reference's table:
+    SBF+SBF stage-1/3 miss ~0.005, stage-2 (twiddle) miss 0."""
+    from rfhe_tpu import native
+    r1 = native.four_step_mc("SBF+SBF", 20_000, 64, 769, 24, seed=42,
+                             target_stage=1)
+    assert r1["miss_rate"] == 0.0
+    assert r1["stats"]["intra_catch"] == 20_000
+    r0 = native.four_step_mc("SBF+SBF", 20_000, 64, 769, 24, seed=42,
+                             target_stage=0)
+    assert 0.001 < r0["miss_rate"] < 0.01    # reference: 0.0048-0.0049
+    r2 = native.four_step_mc("MLF+MLF", 20_000, 64, 769, 24, seed=42,
+                             target_stage=2)
+    assert r2["miss_rate"] < 0.01
+    assert r2["stats"]["batch2_catch"] > 19_000
