@@ -107,7 +107,8 @@ def sweep_relia_ntt_native(args) -> None:
 
 def sweep_barrett_fold(args) -> None:
     from ..faults.reduction_campaigns import barrett_scheme_campaign
-    f, w, path = _writer(args.out, f"barrett_fold_T{args.trials}.csv")
+    f, w, path = _writer(args.out,
+                         f"barrett_fold_{args.fault}_T{args.trials}.csv")
     w.writerow(["fold_width", "use_t", "use_sn", "use_final",
                 "detection_rate", "TP", "FP", "TN", "FN"])
     schemes = [(True, False, False), (False, True, False), (False, False, True)]
@@ -115,7 +116,8 @@ def sweep_barrett_fold(args) -> None:
         for sc in schemes:
             res = barrett_scheme_campaign(
                 fw, sc, args.trials, pbits=37, vec_len=args.vec,
-                bits_per_elem=args.bits_per_elem, seed=args.seed)
+                bits_per_elem=args.bits_per_elem, seed=args.seed,
+                fault=args.fault)
             w.writerow([fw, int(sc[0]), int(sc[1]), int(sc[2]),
                         f"{res['detection_rate']:.4f}", res["TP"], res["FP"],
                         res["TN"], res["FN"]])
@@ -305,6 +307,10 @@ def main(argv=None) -> None:
     ap.add_argument("--fold", type=int, default=24)
     ap.add_argument("--vec", type=int, default=1024)
     ap.add_argument("--bits-per-elem", type=int, default=1)
+    ap.add_argument("--fault", choices=("MOF", "BF"), default="MOF",
+                    help="barrett_fold fault mix: MOF randomize (the "
+                         "reference's measured draw_barrett tables) or BF "
+                         "bit flips (committed barret_modmul.py defaults)")
     ap.add_argument("--pbits-min", type=int, default=2)
     ap.add_argument("--pbits-max", type=int, default=30)
     ap.add_argument("--pbits-step", type=int, default=2)

@@ -68,6 +68,22 @@ def _flip_bits_in_elements(key, vals: jnp.ndarray, elem_count: int,
     return vals.at[idx].set(out)
 
 
+def _randomize_elements(key, vals: jnp.ndarray, elem_count: int) -> jnp.ndarray:
+    """Replace elem_count distinct elements with uniform values of the same
+    bit length (MOF: the fault mix behind the measured draw_barrett.py
+    tables — the delta is then uniform mod the fold modulus, producing the
+    1/M collision ramp the reference's curves show; a pure ±2^j bit-flip
+    delta can never be ≡ 0 mod 2^w−1, which would flatline the sweep)."""
+    n = vals.shape[0]
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.choice(k1, n, shape=(elem_count,), replace=False)
+    chosen = vals[idx]
+    bl = jnp.maximum(bigint.bit_length(chosen), 1)
+    rnd = jax.random.bits(k2, chosen.shape, dtype=jnp.uint32)
+    rnd = bigint.mask_to_bits(rnd, bl)
+    return vals.at[idx].set(rnd)
+
+
 # ---------------------------------------------------------------------------
 # Barrett scheme campaign (T-check / SN-check / final-range)
 # ---------------------------------------------------------------------------
@@ -75,7 +91,12 @@ def _flip_bits_in_elements(key, vals: jnp.ndarray, elem_count: int,
 def barrett_scheme_campaign(fold_width: int, scheme: Tuple[bool, bool, bool],
                             trials: int, pbits: int = 37, vec_len: int = 8192,
                             elem_count: int = 1, bits_per_elem: int = 1,
-                            seed: int = 42) -> Dict:
+                            seed: int = 42, fault: str = "BF") -> Dict:
+    """fault: 'BF' flips bits_per_elem distinct bits in elem_count elements
+    (barret_modmul.py:81-109 committed defaults); 'MOF' randomizes
+    elem_count elements within their bit length — the mix that reproduces
+    the reference's fold-width detection ramp (draw_barrett.py:10-80:
+    SN-check = 1 − 1/M, T-check ≈ (1 − 1/M)/2)."""
     use_t, use_sn, use_final = scheme
     host_rng = _random.Random(seed)
     p = find_prime_with_bitlen(pbits, host_rng)
@@ -104,11 +125,15 @@ def barrett_scheme_campaign(fold_width: int, scheme: Tuple[bool, bool, bool],
         ecc_sn_before = sum_mod(bigint.fold_mod(sn, fold_width), M)
 
         inject_t = jax.random.bernoulli(ks[2])
-        t_f = _flip_bits_in_elements(ks[3], t, elem_count, bits_per_elem)
+        if fault == "MOF":
+            t_f = _randomize_elements(ks[3], t, elem_count)
+            sn_f = _randomize_elements(ks[3], sn, elem_count)
+        else:
+            t_f = _flip_bits_in_elements(ks[3], t, elem_count, bits_per_elem)
+            sn_f = _flip_bits_in_elements(ks[3], sn, elem_count, bits_per_elem)
         t_used = jnp.where(inject_t, t_f, t)
         s_used = bigint.shift_right(t_used, 2 * k, Ls)
         sn_from_t = bigint.mul(s_used, p_l)
-        sn_f = _flip_bits_in_elements(ks[3], sn, elem_count, bits_per_elem)
         sn_used = jnp.where(inject_t, sn_from_t, sn_f)
 
         detect_t = jnp.where(

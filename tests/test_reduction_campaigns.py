@@ -79,3 +79,23 @@ def test_barrett_final_range_alone_misses_external():
                                  use_intra=False, use_range=True,
                                  use_sum=False, seed=7)
     assert res["miss_rate"] > 0.9
+
+
+def test_barrett_fold_ramp_matches_reference_tables():
+    """Parity with draw_barrett.py:10-80 (MOF fault mix): SN-check detection
+    = 1 - 1/M and T-check ~ (1 - 1/M)/2 (stage split 50/50), within
+    binomial CI.  The BF mix cannot produce this ramp (a +-2^j delta is
+    never 0 mod 2^w-1) -- that flatline was round-1's Weak #6."""
+    import math
+    for fw, ref_sn in ((2, 0.6683), (3, 0.8637), (4, 0.9327)):
+        M = (1 << fw) - 1
+        res = barrett_scheme_campaign(fw, (False, True, False), trials=1200,
+                                      vec_len=512, seed=20 + fw, fault="MOF")
+        exp = 1.0 - 1.0 / M
+        ci = 4 * math.sqrt(exp * (1 - exp) / 1200)
+        assert abs(res["detection_rate"] - exp) < ci + 0.01, (fw, res)
+        assert abs(res["detection_rate"] - ref_sn) < ci + 0.02, (fw, res)
+    # T-check at fw=2: ~ 0.333 (reference 0.3246)
+    rt = barrett_scheme_campaign(2, (True, False, False), trials=1200,
+                                 vec_len=512, seed=30, fault="MOF")
+    assert 0.26 < rt["detection_rate"] < 0.41, rt
