@@ -13,6 +13,7 @@ BASELINE.md: 91% dyadic_product_coeffmod).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 from functools import lru_cache
 from typing import Optional, Sequence, Tuple
@@ -46,9 +47,15 @@ class RnsContext:
     barrett_k: Tuple[int, ...]
 
     @classmethod
-    def make(cls, n: int, moduli: Sequence[int]) -> "RnsContext":
+    def make(cls, n: int, moduli: Sequence[int],
+             ntt_impl: Optional[str] = None) -> "RnsContext":
         moduli = tuple(int(q) for q in moduli)
-        plan = PeaseNttPlan.make(n, moduli)
+        impl = ntt_impl or os.environ.get("RFHE_TPU_NTT", "mxu")
+        if impl == "mxu":
+            from ..ops.ntt_mxu import MxuNttPlan
+            plan = MxuNttPlan.make(n, moduli)
+        else:
+            plan = PeaseNttPlan.make(n, moduli)
         qk_mod, qk_inv, qk_inv_shoup = [], [], []
         for k in range(len(moduli)):
             qk = moduli[k]

@@ -226,12 +226,17 @@ def _pallas_plan_cached(n: int, primes: tuple):
     return pallas_ntt.PallasNttPlan.make(n, primes)
 
 
-def negacyclic_ntt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
+def negacyclic_ntt(x: jnp.ndarray, plan) -> jnp.ndarray:
     """ψ-premultiply (entering the Montgomery domain) + forward pipeline.
 
-    On TPU this dispatches to the fused Pallas kernel (ops/pallas_ntt.py,
-    bit-exact with the XLA pipeline below); set RFHE_TPU_PALLAS_NTT=0 to
-    force the XLA Pease path."""
+    Accepts any plan implementing the stacked-limb NTT protocol: an
+    MxuNttPlan (four-step matmul form on the MXU — the production TPU path,
+    ops/ntt_mxu.py) dispatches to its own fwd; a PeaseNttPlan runs the XLA
+    constant-geometry pipeline below (optionally the fused Pallas kernel
+    when RFHE_TPU_PALLAS_NTT=1)."""
+    fwd = getattr(plan, "fwd", None)
+    if fwd is not None:
+        return fwd(x)
     pp = _pallas_plan_for(plan)
     if pp is not None:
         from . import pallas_ntt
@@ -242,8 +247,11 @@ def negacyclic_ntt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
     return ntt(xm, plan)
 
 
-def negacyclic_intt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
+def negacyclic_intt(x: jnp.ndarray, plan) -> jnp.ndarray:
     """Inverse pipeline + ψ^{-1}·n^{-1} exit (removes Montgomery R)."""
+    inv = getattr(plan, "inv", None)
+    if inv is not None:
+        return inv(x)
     pp = _pallas_plan_for(plan)
     if pp is not None:
         from . import pallas_ntt
@@ -278,5 +286,11 @@ def _galois_perm_nu(n: int, g: int) -> np.ndarray:
     return p
 
 
-def galois_perm(plan: PeaseNttPlan, g: int) -> np.ndarray:
+def galois_perm(plan, g: int) -> np.ndarray:
+    """Order-aware galois slot permutation: plans with their own slot layout
+    (MxuNttPlan) provide a galois_perm method; the Pease layout is computed
+    here."""
+    meth = getattr(plan, "galois_perm", None)
+    if meth is not None:
+        return meth(g)
     return _galois_perm_nu(plan.n, g)
