@@ -1,0 +1,43 @@
+"""Device-time measurement that cancels host/tunnel dispatch overhead.
+
+Wall-clock timing of single jit calls on this environment is dominated by a
+multi-millisecond per-call dispatch floor (the axon tunnel), and even
+lax.fori_loop iterations carry a fixed per-iteration overhead at small
+repetition counts.  The reliable estimator is the SLOPE of total time vs
+in-jit repetition count: run body^r1 and body^r2 inside one jit each and
+divide the difference — fixed costs cancel exactly.
+
+This is the TPU analog of the reference's timing discipline (amortized
+loops, e.g. profile_framewk/src/framewk.cpp count loops around each op),
+adapted to an async-dispatch runtime.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+
+
+def reptime(body: Callable, x, rep: int, iters: int = 8) -> float:
+    """Seconds per call of a jit program applying `body` rep times.
+    body must be shape-preserving (output pytree == input pytree shape)."""
+    @jax.jit
+    def f(v):
+        return jax.lax.fori_loop(0, rep, lambda i, a: body(a), v)
+
+    y = f(x)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(y)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / iters
+
+
+def device_time(body: Callable, x, r1: int = 16, r2: int = 128,
+                iters: int = 8) -> float:
+    """Estimated device seconds per application of `body` (slope method)."""
+    t1 = reptime(body, x, r1, iters)
+    t2 = reptime(body, x, r2, iters)
+    return max((t2 - t1) / (r2 - r1), 0.0)

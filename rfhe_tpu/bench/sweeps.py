@@ -282,6 +282,61 @@ def sweep_rotation(args) -> None:
     print("wrote", path)
 
 
+def sweep_composition(args) -> None:
+    """Measured op composition (build/data/draw_pie_chart.py analog):
+    group 'dotprod' = evaluator-op shares of the encrypted dot product
+    (rotate-fold tree: log2(slots) rotations + adds, one mult+relin, one
+    rescale); group 'rotate' = the rotation's internal phase split from
+    ProfiledRotation (NTT/INTT/BaseConv/ApplyEvalKey/ModDown/Permute)."""
+    import jax
+    import numpy as np
+    from ..fhe import CkksContext, CkksParams
+    from ..trace import ProfiledRotation
+
+    n = args.N if args.N > 256 else 4096
+    ckks = CkksContext(CkksParams.make(n=n, levels=args.levels + 2,
+                                       q0_bits=30, scale_bits=26),
+                       seed=args.seed)
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-1, 1, n // 2) + 0j
+    ct = ckks.encrypt(*ckks.encode(z))
+
+    def wall_us(fn, iters=20):
+        out = fn()
+        jax.block_until_ready(out.c[0].data)
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out.c[0].data)
+        return (time.time() - t0) / iters * 1e6
+
+    t_rot = wall_us(lambda: ckks.rotate(ct, 1))
+    t_mul = wall_us(lambda: ckks.multiply_relin(ct, ct))
+    prod = ckks.multiply_relin(ct, ct)
+    t_rescale = wall_us(lambda: ckks.rescale(prod))
+    t_add = wall_us(lambda: ckks.add(ct, ct))
+    n_rot = (n // 2).bit_length() - 1
+    costs = {"Rotate": n_rot * t_rot, "HMul+Relin": t_mul,
+             "Rescale": t_rescale, "Add": n_rot * t_add}
+    tot = sum(costs.values())
+
+    prof = ProfiledRotation(ckks)
+    prof.rotate(ct, 1)
+    prof.rotate(ct, 1)
+    phases = prof.last_collector.totals()
+    rot_parts = {k: v for k, v in phases.items() if k != "ROTATE"}
+    rtot = sum(rot_parts.values())
+
+    f, w, path = _writer(args.out, "op_composition.csv")
+    w.writerow(["group", "part", "share"])
+    for k, v in costs.items():
+        w.writerow(["dotprod", k, f"{v / tot:.4f}"])
+    for k, v in rot_parts.items():
+        w.writerow(["rotate", k, f"{v / rtot:.4f}"])
+    f.close()
+    print("wrote", path)
+
+
 SWEEPS = {
     "pbits": sweep_pbits,
     "relia_ntt": sweep_relia_ntt,
@@ -293,6 +348,7 @@ SWEEPS = {
     "dotprod": sweep_dotprod,
     "rotation": sweep_rotation,
     "dnum": sweep_dnum,
+    "composition": sweep_composition,
 }
 
 

@@ -285,8 +285,8 @@ class BfvContext:
 
     def _jit(self, name, fn):
         if name not in self._jits:
-            import jax
-            self._jits[name] = jax.jit(fn)
+            from ..utils.jitcache import hoisted_jit
+            self._jits[name] = hoisted_jit(fn)
         return self._jits[name]
 
     def behz(self, level: int) -> BehzPlan:

@@ -209,6 +209,38 @@ class CkksContext:
             self.pk.b[:lvl + 1], self.pk.a[:lvl + 1])
         return Ciphertext([RnsPoly(c0, True), RnsPoly(c1, True)], scale)
 
+    def encrypt_seeded(self, pt: RnsPoly, scale: float,
+                       seed: int) -> Ciphertext:
+        """Symmetric-key encryption whose c1 is expanded from `seed` by the
+        frozen SHAKE-256 stream (fhe/serialize.py:sample_uniform_a), so the
+        ciphertext qualifies for the half-size seeded wire form — SEAL's
+        Serializable<Ciphertext> semantics (the reference's perf suite times
+        these save paths, profile_framewk/src/framewk.cpp serialize rows).
+
+        c1 = a (uniform, NTT/Montgomery domain), c0 = m + e - a·s, so the
+        standard decrypt c0 + c1·s recovers m + e."""
+        from .serialize import sample_uniform_a
+        lvl = pt.level
+        n = self.params.n
+        from .keys import _rns_from_signed, _sample_gaussian
+        moduli = self.params.moduli[:lvl + 1]
+        a = jnp.asarray(sample_uniform_a(seed, (lvl + 1, n), moduli))
+        e = _rns_from_signed(_sample_gaussian(self.rng, n, self.params.sigma),
+                             moduli)
+        plan = self.ctx.plan.slice(lvl + 1)
+
+        def enc(pt_data, a, e, s_ntt):
+            from ..ops.ntt_pease import negacyclic_ntt
+            q = plan.q_arr[:, None]
+            qinv = plan.qinv_arr[:, None]
+            m_ntt = negacyclic_ntt(u32.add_mod(e, pt_data, q), plan)
+            c0 = u32.sub_mod(m_ntt, u32.mont_mul(a, s_ntt, q, qinv), q)
+            return c0
+
+        c0 = self._jit(("encrypt_seeded", lvl), enc)(
+            pt.data, a, jnp.asarray(e), self.sk.s_ntt[:lvl + 1])
+        return Ciphertext([RnsPoly(c0, True), RnsPoly(a, True)], scale)
+
     def decrypt(self, ct: Ciphertext) -> RnsPoly:
         lvl = ct.level
         plan = self.ctx.plan.slice(lvl + 1)
@@ -295,9 +327,14 @@ class CkksContext:
         return Ciphertext([c0, c1], ct.scale)
 
     def _rescale_impl(self, ct: Ciphertext) -> Ciphertext:
-        q_top = self.params.moduli[ct.level]
-        return Ciphertext([rescale(p, self.ctx) for p in ct.c],
-                          ct.scale / q_top)
+        """Drop alpha top limbs (alpha=2 for the composite-scale regime:
+        the pair of primes whose product is one scale factor)."""
+        cs, scale = ct.c, ct.scale
+        for _ in range(self.params.alpha):
+            q_top = self.params.moduli[cs[0].level]
+            cs = [rescale(p, self.ctx) for p in cs]
+            scale /= q_top
+        return Ciphertext(cs, scale)
 
     def _multiply_plain_impl(self, ct: Ciphertext, pt: RnsPoly,
                              pt_scale: float) -> Ciphertext:
@@ -320,7 +357,8 @@ class CkksContext:
 
     def _jit(self, name, fn):
         if name not in self._jits:
-            self._jits[name] = jax.jit(fn)
+            from ..utils.jitcache import hoisted_jit
+            self._jits[name] = hoisted_jit(fn)
         return self._jits[name]
 
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:

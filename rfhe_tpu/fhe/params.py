@@ -37,13 +37,34 @@ class CkksParams:
     moduli: Tuple[int, ...]          # q_0 .. q_L (q_0 = base, last = top level)
     scale: float
     sigma: float = 3.2
+    alpha: int = 1                   # primes dropped per rescale
 
     @classmethod
     def make(cls, n: int = 4096, levels: int = 3, q0_bits: int = 31,
              scale_bits: int = 28) -> "CkksParams":
-        bits = [q0_bits] + [scale_bits] * levels
+        """scale_bits <= 30: one prime per level (u32-native).
+
+        scale_bits > 30: COMPOSITE scale — each level is a PAIR of
+        ~scale_bits/2-bit primes and rescale drops both.  This is how the
+        framework reaches the reference substrates' precision regime (SEAL
+        uses scale 2^40..2^60 on 50-60-bit limbs,
+        profile_framewk/src/dotprod_ckks.cpp:96-104) while every residue
+        stays in uint32 for the MXU/VPU datapaths: the wide word the
+        reference gets from CUDA's 64-bit ALUs is replaced by one extra RNS
+        limb per level.  The base q0 becomes a 31+30-bit pair for the same
+        reason (the final message m·scale must survive under it)."""
+        if scale_bits <= 30:
+            bits = [q0_bits] + [scale_bits] * levels
+            alpha = 1
+        else:
+            hb = scale_bits // 2
+            lb = scale_bits - hb
+            if max(hb, lb) > 30:
+                raise ValueError("composite scale supports up to 60 bits")
+            bits = [q0_bits, 30] + [hb, lb] * levels
+            alpha = 2
         return cls(n=n, moduli=tuple(make_prime_chain(n, bits)),
-                   scale=float(1 << scale_bits))
+                   scale=float(2 ** scale_bits), alpha=alpha)
 
     @property
     def L(self) -> int:

@@ -15,11 +15,14 @@ Envelope layout (little-endian):
     header  hlen bytes           JSON: kind, dtype, shapes, metadata
     payload (compressed) bytes   raw C-order array data, concatenated
 
-Fresh public-key-encrypted ciphertexts also support *seeded* serialization
-(SEAL's Serializable<Ciphertext>): the `a` polynomial of a fresh encryption
-is uniformly random, so it can be replaced by the 32-byte PRNG seed that
-generated it, halving the wire size.  `encrypt_seeded` below returns the
-(c0, seed) pair and `expand_seeded` regenerates c1 deterministically.
+Fresh SYMMETRIC-KEY encryptions support *seeded* serialization (SEAL's
+Serializable<Ciphertext> semantics): CkksContext.encrypt_seeded samples c1
+uniformly from a seeded SHAKE-256 stream (sample_uniform_a below — the
+expansion stream is part of the wire format, version 2), so the wire blob
+carries only c0 plus the 32-byte seed, halving the size.
+serialize_ciphertext_seeded VALIDATES that the seed regenerates c1 and
+refuses otherwise — a public-key encryption's c1 = pk.a·u + e1 is NOT
+seed-expandable and must use serialize_ciphertext.
 """
 from __future__ import annotations
 
@@ -37,7 +40,7 @@ from .keys import KeySwitchKey, PublicKey
 from .rns import RnsPoly
 
 _MAGIC = b"RFHE"
-_VERSION = 1
+_VERSION = 2
 _COMP = {"none": 0, "zlib": 1, "lzma": 2}
 _COMP_INV = {v: k for k, v in _COMP.items()}
 
@@ -70,8 +73,12 @@ def _pack(kind: str, arrays: List[np.ndarray], meta: Dict,
         "shape": [list(a.shape) for a in arrays],
         "meta": meta,
     }
+    # force little-endian on the wire (payload and header dtype strings)
+    arrays = [np.ascontiguousarray(a).astype(a.dtype.newbyteorder("<"),
+                                             copy=False) for a in arrays]
+    header["dtype"] = [a.dtype.str for a in arrays]
     hjson = json.dumps(header, separators=(",", ":")).encode()
-    raw = b"".join(np.ascontiguousarray(a).tobytes() for a in arrays)
+    raw = b"".join(a.tobytes() for a in arrays)
     payload = _compress(raw, comp)
     return (_MAGIC + struct.pack("<BBI", _VERSION, _COMP[comp], len(hjson))
             + hjson + payload)
@@ -142,12 +149,19 @@ def deserialize_keyswitch_key(data: bytes) -> KeySwitchKey:
 
 # -- seeded fresh ciphertexts (SEAL Serializable<Ciphertext> analog) ----------
 
-def serialize_ciphertext_seeded(ct: Ciphertext, seed: int,
+def serialize_ciphertext_seeded(ct: Ciphertext, seed: int, moduli,
                                 compression: str = "none") -> bytes:
-    """Fresh encryption where c1 = a was sampled uniformly from `seed`:
-    ship only c0 plus the seed (half the polynomials on the wire)."""
+    """Fresh symmetric encryption (CkksContext.encrypt_seeded) where c1 was
+    sampled uniformly from `seed`: ship only c0 plus the seed (half the
+    polynomials on the wire).  Raises if the seed does not regenerate
+    ct.c[1] — e.g. for public-key encryptions, whose c1 is not expandable."""
     if ct.size != 2:
         raise ValueError("seeded form requires a fresh 2-poly ciphertext")
+    c1 = np.asarray(ct.c[1].data)
+    if not np.array_equal(c1, sample_uniform_a(seed, c1.shape, moduli)):
+        raise ValueError(
+            "seed does not regenerate c1: only ciphertexts produced by "
+            "encrypt_seeded(seed=...) can use the seeded wire form")
     arrays = [np.asarray(ct.c[0].data)]
     meta = {"scale": ct.scale, "correction": ct.correction,
             "is_ntt": [bool(ct.c[0].is_ntt)], "seed": int(seed),
@@ -172,9 +186,28 @@ def deserialize_ciphertext_seeded(data: bytes, moduli) -> Ciphertext:
 
 def sample_uniform_a(seed: int, shape, moduli) -> np.ndarray:
     """Deterministic uniform RNS sample (limb i < moduli[i]) used by the
-    seeded-ciphertext wire format."""
-    rng = np.random.default_rng(seed)
+    seeded-ciphertext wire format (version 2 stream, frozen):
+
+    limb i is rejection-sampled from little-endian u32 words of
+    SHAKE-256(seed_32le || i_4le || counter_4le), seed_32le = seed mod 2^256.
+    SHAKE-256 is a crypto XOF, so the expanded `a` meets the RLWE uniformity
+    requirement (the round-1 numpy-PCG64 stream did not — ADVICE r1)."""
+    import hashlib
+    seed_b = (int(seed) % (1 << 256)).to_bytes(32, "little")
     out = np.empty(shape, dtype=np.uint32)
-    for i, q in enumerate(moduli[:shape[0]]):
-        out[i] = rng.integers(0, int(q), size=shape[1:], dtype=np.uint32)
+    n_el = int(np.prod(shape[1:], dtype=np.int64))
+    for i, q in enumerate(int(m) for m in moduli[:shape[0]]):
+        bound = ((1 << 32) // q) * q
+        vals, ctr = [], 0
+        need = n_el
+        while need > 0:
+            xof = hashlib.shake_256(
+                seed_b + i.to_bytes(4, "little") + ctr.to_bytes(4, "little"))
+            words = np.frombuffer(xof.digest(4 * (need + need // 4 + 16)),
+                                  dtype="<u4")
+            keep = words[words < bound]
+            vals.append(keep[:need])
+            need -= len(vals[-1])
+            ctr += 1
+        out[i] = (np.concatenate(vals) % q).reshape(shape[1:])
     return out

@@ -232,6 +232,107 @@ def fig_end_to_end(args):
     print(save(fig, args.out, "end_to_end_cost.png"))
 
 
+def fig_dnum(args):
+    """eva_6-class: rotation cost breakdown + latency vs dnum (number of
+    keyswitch digit groups), from our measured sweep
+    (profile_framewk/draw_dnum.py + draw_dnum_rot_mul.py analog).  Two
+    stacked panels share the x axis — never a dual-axis chart."""
+    rows = _read(args.data or "results/dnum_N2048.csv")
+    dnums = [r["dnum"] for r in rows]
+    total = np.array([float(r["total_us"]) for r in rows])
+    cats = ["NTT", "ModMul", "BaseConv", "Others"]
+    import matplotlib.pyplot as plt
+    from .common import STYLE
+    plt.rcParams.update(STYLE)
+    fig, (ax, ax2) = plt.subplots(2, 1, figsize=(6.0, 5.2), sharex=True,
+                                  height_ratios=[2, 1])
+    bottom = np.zeros(len(dnums))
+    for ci, c in enumerate(cats):
+        frac = np.array([float(r[c]) for r in rows]) * 100
+        ax.bar(dnums, frac, bottom=bottom, color=PALETTE[ci], label=c,
+               width=0.6)
+        bottom += frac
+    ax.set_ylabel("share of rotation cost (%)")
+    ax.set_title("CKKS rotation breakdown vs dnum (TPU, measured)")
+    ax.legend(fontsize=8, ncol=4)
+    ax2.plot(dnums, total / 1e3, marker="o", color=PALETTE[0])
+    ax2.set_xlabel("dnum (keyswitch digit groups)")
+    ax2.set_ylabel("latency (ms)")
+    print(save(fig, args.out, "dnum_breakdown.png"))
+
+
+def fig_pie(args):
+    """Op-composition figure (build/data/draw_pie_chart.py analog): what
+    fraction of the encrypted dot product each evaluator op costs, and what
+    the rotation spends internally.  Drawn as horizontal 100% composition
+    bars (the pie form hides small shares; same data, better form)."""
+    rows = _read(args.data or "results/op_composition.csv")
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["group"]].append((r["part"], float(r["share"])))
+    fig, ax = new_fig(7.0, 2.6)
+    for gi, (gname, parts) in enumerate(groups.items()):
+        parts = sorted(parts, key=lambda p: -p[1])
+        left = 0.0
+        for ci, (pname, share) in enumerate(parts):
+            ax.barh([gname], [share * 100], left=[left],
+                    color=PALETTE[ci % len(PALETTE)], height=0.55)
+            if share > 0.04:
+                ax.text(left + share * 50, gi, f"{pname}\n{share*100:.1f}%",
+                        ha="center", va="center", fontsize=7)
+            left += share * 100
+    ax.set_xlabel("share of cost (%)")
+    ax.set_xlim(0, 100)
+    ax.set_title("Measured op composition (TPU)")
+    print(save(fig, args.out, "op_composition.png"))
+
+
+def fig_poly_rot_mul(args):
+    """eva_5-class: mult+rotation cost breakdown vs polydim with the
+    RFHE protection-overhead multiplier per dim
+    (profile_framewk/draw_poly_rot_mul.py analog).  The protected bar uses
+    the MEASURED per-atom overheads (results/atom_overheads.csv)."""
+    rows = _read(args.data or "results/rotation_profile.csv")
+    ovh = {"NTT": 1.02, "BaseConv": 1.001, "ModMul": 1.14, "Others": 2.0}
+    if os.path.exists("results/atom_overheads.csv"):
+        amap = {"NTTCost": "NTT", "BaseConvCost": "BaseConv",
+                "ModmulCost": "ModMul", "Others": "Others"}
+        for r in _read("results/atom_overheads.csv"):
+            ovh[amap.get(r["atom"], r["atom"])] = float(r["overhead"])
+    cats = ["NTT", "ModMul", "BaseConv", "Others"]
+    fig, ax = new_fig(7.5, 4.0)
+    x = 0.0
+    xpos, xlab = [], []
+    for r in rows:
+        total = float(r["total_us"]) / 1e3
+        bottoms = [0.0, 0.0]
+        prot_total = 0.0
+        for ci, c in enumerate(cats):
+            base_v = float(r[c]) * total
+            prot_v = base_v * ovh[c]
+            prot_total += prot_v
+            ax.bar([x], [base_v], bottom=[bottoms[0]], width=0.38,
+                   color=PALETTE[ci],
+                   label=c if x == 0 else None)
+            ax.bar([x + 0.42], [prot_v], bottom=[bottoms[1]], width=0.38,
+                   color=PALETTE[ci], alpha=0.65)
+            bottoms[0] += base_v
+            bottoms[1] += prot_v
+        ax.text(x + 0.42, bottoms[1] * 1.02, f"{prot_total/total:.3f}x",
+                ha="center", fontsize=7)
+        xpos.append(x + 0.21)
+        xlab.append(r["n"])
+        x += 1.2
+    ax.set_xticks(xpos)
+    ax.set_xticklabels(xlab)
+    ax.set_xlabel("polynomial degree N")
+    ax.set_ylabel("rotation+mult cost (ms)")
+    ax.set_title("Baseline vs RFHE-protected cost vs polydim "
+                 "(measured atoms)")
+    ax.legend(fontsize=8)
+    print(save(fig, args.out, "poly_rot_mul.png"))
+
+
 FIGS = {
     "rotation": fig_rotation,
     "barrett": fig_barrett,
@@ -240,6 +341,9 @@ FIGS = {
     "err_scatter": fig_err_scatter,
     "evaluator": fig_evaluator,
     "end_to_end": fig_end_to_end,
+    "dnum": fig_dnum,
+    "pie": fig_pie,
+    "poly_rot_mul": fig_poly_rot_mul,
 }
 
 

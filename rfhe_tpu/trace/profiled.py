@@ -39,7 +39,8 @@ class ProfiledRotation:
 
     def _jit(self, name, fn):
         if name not in self._jits:
-            self._jits[name] = jax.jit(fn)
+            from ..utils.jitcache import hoisted_jit
+            self._jits[name] = hoisted_jit(fn)
         return self._jits[name]
 
     def rotate(self, ct: Ciphertext, r: int,

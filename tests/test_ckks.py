@@ -102,3 +102,25 @@ def test_depth2(ckks, rng):
     sq2 = ckks.rescale(ckks.multiply_relin(sq, sq))
     back = ckks.decrypt_decode(sq2)
     np.testing.assert_allclose(back, z ** 4, atol=5e-2)
+
+
+def test_composite_scale_precision():
+    """scale_bits > 30 switches to the two-prime composite scale (alpha=2):
+    SEAL-class precision (the reference's 50-60-bit-limb regime) out of u32
+    limbs.  Precision jumps from ~1e-3 (single 28-bit scale) to ~1e-9."""
+    from rfhe_tpu.fhe import CkksContext, CkksParams
+    params = CkksParams.make(n=512, levels=2, q0_bits=31, scale_bits=56)
+    assert params.alpha == 2 and len(params.moduli) == 6
+    ckks = CkksContext(params, seed=7)
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-1, 1, 256) + 1j * rng.uniform(-1, 1, 256)
+    ct = ckks.encrypt(*ckks.encode(z))
+    m = ckks.rescale(ckks.multiply_relin(ct, ct))
+    assert m.level == ct.level - 2
+    np.testing.assert_allclose(ckks.decrypt_decode(m), z * z, atol=1e-9)
+    r = ckks.rotate(ct, 5)
+    np.testing.assert_allclose(ckks.decrypt_decode(r), np.roll(z, -5),
+                               atol=1e-9)
+    m2 = ckks.rescale(ckks.multiply_relin(m, m))
+    np.testing.assert_allclose(ckks.decrypt_decode(m2), (z * z) ** 2,
+                               atol=1e-8)

@@ -59,21 +59,27 @@ def test_kind_mismatch_raises(ckks, ct):
         ser.deserialize_ciphertext(blob)
 
 
-def test_seeded_ciphertext_halves_wire_size(ckks, ct):
-    """SEAL Serializable<Ciphertext> analog: fresh ct ships c0 + seed."""
-    import jax.numpy as jnp
-    from rfhe_tpu.fhe.rns import RnsPoly
-    from rfhe_tpu.fhe.ckks import Ciphertext
-    c, _ = ct
-    # build a synthetic 'fresh' ct whose c1 really came from the seeded stream
+def test_seeded_ciphertext_halves_wire_size(ckks):
+    """SEAL Serializable<Ciphertext> analog: encrypt_seeded ships c0+seed,
+    the blob regenerates c1 exactly, and the plaintext still decrypts."""
     seed = 1234
-    a = ser.sample_uniform_a(seed, tuple(np.asarray(c.c[1].data).shape),
-                             ckks.params.moduli)
-    fresh = Ciphertext(c=[c.c[0], RnsPoly(jnp.asarray(a), c.c[1].is_ntt)],
-                       scale=c.scale)
+    rng = np.random.default_rng(9)
+    z = rng.uniform(-1, 1, ckks.params.n // 2) + 0j
+    fresh = ckks.encrypt_seeded(*ckks.encode(z), seed=seed)
     blob_full = ser.serialize_ciphertext(fresh)
-    blob_seed = ser.serialize_ciphertext_seeded(fresh, seed)
+    blob_seed = ser.serialize_ciphertext_seeded(fresh, seed,
+                                                ckks.params.moduli)
     assert len(blob_seed) < 0.6 * len(blob_full)
     back = ser.deserialize_ciphertext_seeded(blob_seed, ckks.params.moduli)
     for p, q in zip(fresh.c, back.c):
         assert np.array_equal(np.asarray(p.data), np.asarray(q.data))
+    np.testing.assert_allclose(ckks.decrypt_decode(back), z, atol=1e-3)
+
+
+def test_seeded_serialize_rejects_nonseeded(ckks, ct):
+    """A public-key encryption's c1 is not seed-expandable: refuse loudly
+    instead of silently shipping a blob that decrypts to garbage."""
+    import pytest
+    c, _ = ct
+    with pytest.raises(ValueError, match="seed does not regenerate"):
+        ser.serialize_ciphertext_seeded(c, 1234, ckks.params.moduli)
