@@ -15,7 +15,6 @@ pipelined dispatches.  vs_baseline = baseline_us / ours_us (>1 beats SEAL).
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np

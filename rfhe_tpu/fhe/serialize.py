@@ -88,9 +88,13 @@ def _unpack(data: bytes) -> Tuple[str, List[np.ndarray], Dict]:
     if data[:4] != _MAGIC:
         raise ValueError("not an RFHE serialized object")
     version, comp_id, hlen = struct.unpack("<BBI", data[4:10])
-    if version != _VERSION:
+    if version not in (1, _VERSION):
         raise ValueError(f"unsupported version {version}")
     header = json.loads(data[10:10 + hlen])
+    if version == 1 and header.get("kind") == "ciphertext_seeded":
+        # the seed-expansion stream is part of the version-2 wire format;
+        # plain ciphertexts/keys are byte-identical between versions
+        raise ValueError("seeded ciphertexts require version 2 blobs")
     raw = _decompress(data[10 + hlen:], _COMP_INV[comp_id])
     arrays, off = [], 0
     for dt, shp in zip(header["dtype"], header["shape"]):

@@ -68,7 +68,10 @@ def cond_sub(a: jnp.ndarray, q: int) -> jnp.ndarray:
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, q: int, qinv_neg: int) -> jnp.ndarray:
     """Montgomery product: a*b*R^{-1} mod q, R = 2^32.
 
-    Requires a, b < q < 2^31 so t = (ab + mq)/R < 2q fits uint32.
+    Requires a < 2^32, b < q < 2^31 so t = (ab + mq)/R < 2q fits uint32
+    (the wide `a` range is load-bearing: const_matmul.apply and
+    ntt_mxu recombination pass a = bits(acc) up to 2^32-1 — negative int32
+    accumulators reinterpreted as uint32).
     """
     hi, lo = mul32_parts(a, b)
     m = lo * _u32(qinv_neg)                 # low 32 bits only

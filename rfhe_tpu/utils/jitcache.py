@@ -25,7 +25,13 @@ from jax import tree_util
 
 class HoistedJit:
     """Callable wrapping `fn` with constants hoisted to jit arguments.
-    Traced lazily on first call; retraces if the input tree/shapes change."""
+    Traced lazily on first call; retraces if the input tree/shapes change.
+
+    NOTE: the closure is FROZEN at first trace per (treedef, avals) key —
+    constants captured by `fn` at that call are reused on every later call
+    with the same signature.  Callers that rebuild closures over different
+    tables per call must bake the distinguishing data into the *arguments*
+    (as ckks.encrypt_seeded does), not the closure."""
 
     def __init__(self, fn: Callable):
         self._fn = fn
