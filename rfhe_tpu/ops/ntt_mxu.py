@@ -43,8 +43,10 @@ Bit-exact vs the Pease pipeline up to slot order (tests/test_ntt_mxu.py).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+import os
+from dataclasses import dataclass, field
 from functools import lru_cache
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +57,17 @@ from .const_matmul import ConstMatPlan
 from .u32 import add_mod, mont_mul, sub_mod
 
 __all__ = ["MxuNttPlan"]
+
+# The fused Pallas kernel (ops/ntt_fused.py) runs the whole four-step
+# pipeline in one VMEM pass on TPU; RFHE_TPU_FUSED_NTT=0 falls back to the
+# XLA composition below (always used on CPU, where Mosaic isn't available).
+# Opt-in (default 0) until each new kernel build is device-validated; the
+# validation driver flips this to 1 (see bench.py / tests/test_ntt_fused.py).
+_FUSED_ENABLED = os.environ.get("RFHE_TPU_FUSED_NTT", "0") == "1"
+
+
+def _use_fused() -> bool:
+    return _FUSED_ENABLED and jax.default_backend() == "tpu"
 
 
 def _pow_table(base: int, count: int, q: int) -> np.ndarray:
@@ -85,6 +98,7 @@ class MxuNttPlan:
     Ui: jnp.ndarray                # (Gi, L, n2, n1) folded inv twiddle weights
     nu: np.ndarray                 # slot p -> NTT coefficient index
     nu_inv: np.ndarray
+    fused: Optional[object] = field(default=None, compare=False)  # FusedNtt
 
     @classmethod
     def make(cls, n: int, primes) -> "MxuNttPlan":
@@ -162,14 +176,20 @@ class MxuNttPlan:
         nu = (p % n1) * n2 + p // n1
         nu_inv = np.empty(n, dtype=np.int64)
         nu_inv[nu] = p
+        s2 = ConstMatPlan.make(W1Tf, qs, qinvs, side="right")
+        s2i = ConstMatPlan.make(W2if, qs, qinvs, side="left")
+        Uf_j = jnp.asarray(folded(Tf, s1))
+        Ui_j = jnp.asarray(folded(Ti, s1i))
+        from .ntt_fused import FusedNtt
+        fused = FusedNtt.make(n, n1, n2, s1, s2, Uf_j, s1i, s2i, Ui_j, qs)
         return cls(
             n=n, n1=n1, n2=n2,
             q_arr=jnp.asarray(q_arr), qinv_arr=jnp.asarray(qinv_arr),
-            s1=s1, s2=ConstMatPlan.make(W1Tf, qs, qinvs, side="right"),
-            Uf=jnp.asarray(folded(Tf, s1)),
-            s1i=s1i, s2i=ConstMatPlan.make(W2if, qs, qinvs, side="left"),
-            Ui=jnp.asarray(folded(Ti, s1i)),
-            nu=nu, nu_inv=nu_inv,
+            s1=s1, s2=s2,
+            Uf=Uf_j,
+            s1i=s1i, s2i=s2i,
+            Ui=Ui_j,
+            nu=nu, nu_inv=nu_inv, fused=fused,
         )
 
     # ---- PeaseNttPlan protocol ------------------------------------------
@@ -197,6 +217,7 @@ class MxuNttPlan:
             s1=self.s1.take(idx), s2=self.s2.take(idx), Uf=self.Uf[:, idx],
             s1i=self.s1i.take(idx), s2i=self.s2i.take(idx),
             Ui=self.Ui[:, idx], nu=self.nu, nu_inv=self.nu_inv,
+            fused=self.fused.take(idx) if self.fused is not None else None,
         )
 
     def _twiddle_recombine(self, groups, U, qb, qinvb):
@@ -215,7 +236,11 @@ class MxuNttPlan:
     def fwd(self, x: jnp.ndarray) -> jnp.ndarray:
         """Negacyclic forward NTT: x (..., L, n) plain coeffs ->
         (..., L, n) slots (order nu) in Montgomery form.  Transpose-free:
-        both stages contract in the (..., L, n2, n1) layout."""
+        both stages contract in the (..., L, n2, n1) layout.  On TPU the
+        fused single-HBM-pass Pallas kernel (ops/ntt_fused.py) runs instead;
+        both are bit-exact."""
+        if self.fused is not None and _use_fused():
+            return self.fused.fwd(x)
         n, n1, n2 = self.n, self.n1, self.n2
         shape = x.shape
         A = x.reshape(shape[:-1] + (n2, n1))                 # A[t2, t1]
@@ -230,6 +255,8 @@ class MxuNttPlan:
 
     def inv(self, y: jnp.ndarray) -> jnp.ndarray:
         """Inverse: slots (order nu, Montgomery) -> plain coeffs."""
+        if self.fused is not None and _use_fused():
+            return self.fused.inv(y)
         n, n1, n2 = self.n, self.n1, self.n2
         shape = y.shape
         Y = y.reshape(shape[:-1] + (n2, n1))                 # Y[k2, k1]
