@@ -446,3 +446,260 @@ void three_stage_mc(long long trials, long long S, u64 P, int W, int ftype,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wide-prime reduction campaigns (pbits <= 60, products fit u128) — native
+// twins of rfhe_tpu/faults/reduction_campaigns.py:montgomery_campaign and
+// barrett_final_campaign, for archive-scale trial counts (the reference's
+// 10k-trial intra/range/sum tables and montgomery fold sweeps:
+// rfhe_framewk/src/{intra,range,sum}.txt, montgomery.py:148-190).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+int bitlen128(u128 v) {
+  int n = 0;
+  while (v) { ++n; v >>= 1; }
+  return n;
+}
+
+bool is_probable_prime(u64 n, Rng &rng) {
+  if (n < 4) return n > 1;
+  if (!(n & 1)) return false;
+  u64 d = n - 1;
+  int r = 0;
+  while (!(d & 1)) { d >>= 1; ++r; }
+  for (int it = 0; it < 32; ++it) {
+    u64 a = 2 + rng.below(n - 3);
+    u64 x = pow_mod(a, d, n);
+    if (x == 1 || x == n - 1) continue;
+    bool comp = true;
+    for (int j = 0; j < r - 1; ++j) {
+      x = (u64)(((u128)x * x) % n);
+      if (x == n - 1) { comp = false; break; }
+    }
+    if (comp) return false;
+  }
+  return true;
+}
+
+u64 prime_with_bitlen(int bits, Rng &rng) {
+  for (;;) {
+    u64 v = (1ULL << (bits - 1)) | rng.below(1ULL << (bits - 1)) | 1ULL;
+    if (bits <= 1) v = 2;
+    if (is_probable_prime(v, rng)) return v;
+  }
+}
+
+// flip `count` distinct bits within bit_length(v) (reduction_campaigns.py:
+// _flip_bits_in_elements; second flip only when bit_length >= 2)
+u128 flip_bits(u128 v, int count, Rng &rng) {
+  int bl = bitlen128(v);
+  if (bl < 1) bl = 1;
+  u64 b1 = rng.below((u64)bl);
+  u128 out = v ^ ((u128)1 << b1);
+  if (count >= 2 && bl >= 2) {
+    u64 b2 = rng.below((u64)(bl - 1));
+    if (b2 >= b1) ++b2;
+    out ^= (u128)1 << b2;
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Montgomery REDC vector campaign (montgomery_campaign semantics).
+// scheme flags: use_m (fold ECC on lowT*m' products), use_mp (fold ECC on
+// m*p products), use_final ((T + m*p) % R == 0 check).
+// out[0] = TP, out[1] = FN (harmful trials detected / missed).
+void montgomery_mc(long long trials, int pbits, long long vec_len,
+                   int fold_width, int use_m, int use_mp, int use_final,
+                   int flip_count, u64 seed, long long *out) {
+  Rng prng(seed);
+  const u64 p = prime_with_bitlen(pbits, prng);
+  const int kbits = pbits;
+  const u128 Rmask = ((u128)1 << kbits) - 1;
+  const u64 M = (1ULL << fold_width) - 1;
+  // m' = -p^{-1} mod R via Newton iteration on 2-adic inverse
+  u64 inv = 1;
+  for (int i = 0; i < 6; ++i) inv *= 2 - p * inv;        // p^{-1} mod 2^64
+  const u64 m_prime = (u64)(((u128)0 - inv) & Rmask);    // -p^{-1} mod R
+
+  long long TP = 0, FN = 0;
+#ifdef _OPENMP
+#pragma omp parallel reduction(+ : TP, FN)
+#endif
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    Rng rng(thread_seed(seed, tid));
+    std::vector<u128> T((size_t)vec_len), pm((size_t)vec_len),
+        pmp((size_t)vec_len);
+#ifdef _OPENMP
+#pragma omp for
+#endif
+    for (long long t = 0; t < trials; ++t) {
+      u64 ecc_m = 0, ecc_mp = 0;
+      for (long long i = 0; i < vec_len; ++i) {
+        u64 a = rng.below(p), b = rng.below(p);
+        T[(size_t)i] = (u128)a * b;
+        u64 lowT = (u64)(T[(size_t)i] & Rmask);
+        pm[(size_t)i] = (u128)lowT * m_prime;
+        u64 m = (u64)(pm[(size_t)i] & Rmask);
+        pmp[(size_t)i] = (u128)m * p;
+        ecc_m = (ecc_m + (u64)(pm[(size_t)i] % M)) % M;
+        ecc_mp = (ecc_mp + (u64)(pmp[(size_t)i] % M)) % M;
+      }
+      bool inject_m = rng.below(2) == 0;
+      size_t idx = (size_t)rng.below((u64)vec_len);
+      u128 pm_used = pm[idx], pmp_used = pmp[idx];
+      if (inject_m) {
+        pm_used = flip_bits(pm[idx], flip_count, rng);
+        u64 m_used = (u64)(pm_used & Rmask);
+        pmp_used = (u128)m_used * p;
+      } else {
+        pmp_used = flip_bits(pmp[idx], flip_count, rng);
+      }
+      u64 ecc_m_used =
+          (u64)((ecc_m + M - (u64)(pm[idx] % M) + (u64)(pm_used % M)) % M);
+      u64 ecc_mp_used =
+          (u64)((ecc_mp + M - (u64)(pmp[idx] % M) + (u64)(pmp_used % M)) % M);
+      bool det_m = use_m && inject_m && (ecc_m_used != ecc_m);
+      bool det_mp = use_mp && (ecc_mp_used != ecc_mp);
+      u128 total = T[idx] + pmp_used;
+      bool det_final = use_final && ((total & Rmask) != 0);
+      // harmful: reduced value differs from the clean path (only idx moves)
+      u64 u_f = (u64)(total >> kbits);
+      if (u_f >= p) u_f -= p;
+      u128 tot_ok = T[idx] + pmp[idx];
+      u64 u_ok = (u64)(tot_ok >> kbits);
+      if (u_ok >= p) u_ok -= p;
+      bool harmful = u_f != u_ok;
+      bool detected = det_m || det_mp || det_final;
+      if (harmful) {
+        if (detected) ++TP;
+        else ++FN;
+      }
+    }
+  }
+  out[0] = TP;
+  out[1] = FN;
+}
+
+// barrett_final campaign (Intra 2^s+1 fold / Range windows / Sum mod Q
+// under the 4 fault models of barrett_final.py:57-80).
+// out[0]=undetected, out[1]=det_intra_only, out[2]=det_inter_only,
+// out[3]=det_both.
+void barrett_final_mc(long long trials, int pbits, int s_bits,
+                      int fault_model, int use_intra, int use_range,
+                      int use_sum, long long vec_len, u64 seed,
+                      long long *out) {
+  // Q = next prime >= 2^(pbits-1) (deterministic, matches next_prime_ge)
+  Rng prng(seed);
+  u64 Q = (1ULL << (pbits - 1));
+  while (!is_probable_prime(Q, prng)) ++Q;
+  const int K = bitlen128(Q - 1);
+  const u128 mu = (((u128)1 << (2 * K))) / Q;
+  const u64 Ms = (1ULL << s_bits) + 1;
+
+  long long und = 0, intra_only = 0, inter_only = 0, both = 0;
+#ifdef _OPENMP
+#pragma omp parallel reduction(+ : und, intra_only, inter_only, both)
+#endif
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    Rng rng(thread_seed(seed, tid));
+    std::vector<u64> av((size_t)vec_len), bv((size_t)vec_len);
+    std::vector<u128> c((size_t)vec_len);
+#ifdef _OPENMP
+#pragma omp for
+#endif
+    for (long long t = 0; t < trials; ++t) {
+      u64 sum_ref = 0;
+      for (long long i = 0; i < vec_len; ++i) {
+        av[(size_t)i] = rng.below(Q);
+        bv[(size_t)i] = rng.below(Q);
+        c[(size_t)i] = (u128)av[(size_t)i] * bv[(size_t)i];
+        sum_ref = (sum_ref + (u64)(c[(size_t)i] % Q)) % Q;
+      }
+      // inject: record faulty elements only (others stay clean)
+      size_t idxs[2] = {0, 0};
+      u128 cf[2] = {0, 0};
+      int nf = 0;
+      auto rnd_bits = [&](int nbits) {
+        u128 v = 0;
+        for (int got = 0; got < nbits; got += 32)
+          v = (v << 32) | rng.below(1ULL << 32);
+        return v & (((u128)1 << nbits) - 1);
+      };
+      if (fault_model == 1 || fault_model == 2) {
+        int cnt = fault_model;
+        idxs[0] = (size_t)rng.below((u64)vec_len);
+        if (cnt == 2) {
+          do { idxs[1] = (size_t)rng.below((u64)vec_len); }
+          while (idxs[1] == idxs[0]);
+        }
+        for (int f = 0; f < cnt; ++f)
+          cf[f] = rnd_bits(bitlen128(c[idxs[f]]) + 1);
+        nf = cnt;
+      } else if (fault_model == 3) {
+        idxs[0] = (size_t)rng.below((u64)vec_len);
+        cf[0] = flip_bits(c[idxs[0]], 2, rng);
+        nf = 1;
+      } else {
+        idxs[0] = (size_t)rng.below((u64)vec_len);
+        do { idxs[1] = (size_t)rng.below((u64)vec_len); }
+        while (idxs[1] == idxs[0]);
+        cf[0] = flip_bits(c[idxs[0]], 1, rng);
+        cf[1] = flip_bits(c[idxs[1]], 1, rng);
+        nf = 2;
+      }
+      bool intra_det = false, range_det = false;
+      u64 sum_faulty = sum_ref;
+      for (int f = 0; f < nf; ++f) {
+        size_t i = idxs[f];
+        u128 v = cf[f];
+        if (use_intra) {
+          u64 fa = av[i] % Ms, fb = bv[i] % Ms;
+          u64 pf = (u64)(((u128)fa * fb) % Ms);
+          if ((u64)(v % Ms) != pf) intra_det = true;
+        }
+        // Barrett reduce with range windows (t = v*mu needs < 2^128:
+        // v < 2^(2*pbits+1), mu ~ 2^(K+1) -> pbits <= 60 is safe for 37)
+        u128 tt = v * mu;
+        u128 s_ = tt >> (2 * K);
+        u128 sn = s_ * Q;
+        bool pre_ok = v >= sn && (v - sn) < (u128)(2 * Q);
+        u128 ci = v >= sn ? v - sn : 0;   // borrow -> window already failed
+        u128 ci_red = ci >= Q ? ci - Q : ci;
+        bool post_ok = ci_red < Q;
+        if (use_range && !(pre_ok && post_ok)) range_det = true;
+        // update Sum: replace this element's clean residue with faulty one
+        sum_faulty = (u64)((sum_faulty + Q - (u64)(c[i] % Q)
+                            + (u64)(ci_red % Q)) % Q);
+      }
+      bool sum_det = use_sum && (sum_faulty != sum_ref);
+      bool inter_det = range_det || sum_det;
+      bool detected = (use_intra && intra_det) || inter_det;
+      if (!detected) ++und;
+      else if (intra_det && inter_det) ++both;
+      else if (intra_det) ++intra_only;
+      else ++inter_only;
+    }
+  }
+  out[0] = und;
+  out[1] = intra_only;
+  out[2] = inter_only;
+  out[3] = both;
+}
+
+}  // extern "C"

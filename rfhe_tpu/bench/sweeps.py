@@ -79,6 +79,37 @@ def sweep_relia_ntt(args) -> None:
     print("wrote", path)
 
 
+def sweep_pbits_native(args) -> None:
+    """Native-engine pbits sweep at reference trial counts (the archived
+    results_pbits_2_14_W24_N64_T1e7_seed42.txt campaign, run_ntt_test.sh).
+    MCF-CLE — the only detector with a nonzero collision floor (~3e-6 at
+    19-bit primes, draw_ntt_reliability.py:32-38) — runs at 10x trials so
+    the floor is resolved; the zero-miss fault types use --trials."""
+    import random
+    from .. import numth, native
+    from ..faults.campaign import FAULT_TYPES
+    f, w, path = _writer(args.out,
+                         f"pbits_native_W{args.W}_N{args.N}_T{args.trials}.csv")
+    w.writerow(["ftype", "pbits", "stage", "trials", "injected",
+                "undetected", "collision_prob"])
+    for ftype in FAULT_TYPES:
+        trials = args.trials * (10 if ftype == "MCF-CLE" else 1)
+        for pbits in range(args.pbits_min, args.pbits_max + 1,
+                           args.pbits_step):
+            P = numth.find_prime_with_bitlen(pbits, random.Random(args.seed))
+            res = native.three_stage_mc(ftype, trials, S=int(args.N ** 0.5),
+                                        P=P, W=args.W, seed=args.seed)
+            for s in range(3):
+                w.writerow([ftype, pbits, s + 1, trials,
+                            res["injected"][s], res["undetected"][s],
+                            f"{res['collision_prob'][s]:.7f}"])
+            print(f"[pbits_native] {ftype} pbits={pbits} T={trials} "
+                  f"p={['%.2e' % p for p in res['collision_prob']]}",
+                  flush=True)
+    f.close()
+    print("wrote", path)
+
+
 def sweep_relia_ntt_native(args) -> None:
     """Native-engine version of the flagship sweep at the reference's full
     trial counts (test_reliaNTT.sh: q-bits 10..30, 1M trials) — butterfly-op
@@ -164,6 +195,52 @@ def sweep_barrett_final(args) -> None:
                             res["det_intra_only"], res["det_sum_only"],
                             res["det_both"], res["undetected"]])
         print(f"[barrett_final] s={s_bits} done", flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_montgomery_native(args) -> None:
+    """Native montgomery campaign at reference archive scale (10k+ trials;
+    montgomery.py:178-190's fold sweep)."""
+    from .. import native
+    f, w, path = _writer(args.out, f"montgomery_native_T{args.trials}.csv")
+    w.writerow(["fold_width", "use_m", "use_mp", "detection_rate", "TP", "FN"])
+    for fw in range(12, 25, 2):
+        for sc in [(True, False, True), (False, True, True), (True, True, True)]:
+            res = native.montgomery_mc(fw, sc, args.trials, pbits=37,
+                                       vec_len=args.vec, seed=args.seed)
+            w.writerow([fw, int(sc[0]), int(sc[1]),
+                        f"{res['detection_rate']:.4f}", res["TP"], res["FN"]])
+            print(f"[mont_native] fw={fw} {sc} "
+                  f"rate={res['detection_rate']:.4f}", flush=True)
+    f.close()
+    print("wrote", path)
+
+
+def sweep_barrett_final_native(args) -> None:
+    """Native barrett_final campaign at the reference's 10k-trial scale
+    (the intra/range/sum tables, rfhe_framewk/src/{intra,range,sum}.txt)."""
+    from .. import native
+    f, w, path = _writer(args.out,
+                         f"barrett_final_native_T{args.trials}.csv")
+    w.writerow(["s", "model", "protection", "miss_rate", "det_intra_only",
+                "det_sum_only", "det_both", "undetected"])
+    protections = {
+        "Intra": (True, False, False),
+        "Range": (False, True, False),
+        "Sum": (False, False, True),
+        "All": (True, True, True),
+    }
+    for s_bits in range(4, 11):
+        for model in (1, 2, 3, 4):
+            for pname, (ui, ur, us_) in protections.items():
+                res = native.barrett_final_mc(
+                    s_bits, model, args.trials, vec_len=args.vec,
+                    use_intra=ui, use_range=ur, use_sum=us_, seed=args.seed)
+                w.writerow([s_bits, model, pname, f"{res['miss_rate']:.6f}",
+                            res["det_intra_only"], res["det_sum_only"],
+                            res["det_both"], res["undetected"]])
+        print(f"[barrett_final_native] s={s_bits} done", flush=True)
     f.close()
     print("wrote", path)
 
@@ -341,6 +418,9 @@ SWEEPS = {
     "pbits": sweep_pbits,
     "relia_ntt": sweep_relia_ntt,
     "relia_ntt_native": sweep_relia_ntt_native,
+    "pbits_native": sweep_pbits_native,
+    "montgomery_native": sweep_montgomery_native,
+    "barrett_final_native": sweep_barrett_final_native,
     "barrett_fold": sweep_barrett_fold,
     "montgomery": sweep_montgomery,
     "barrett_final": sweep_barrett_final,

@@ -49,6 +49,14 @@ def _lib() -> ctypes.CDLL:
     lib.three_stage_mc.argtypes = [
         ctypes.c_longlong, ctypes.c_longlong, ctypes.c_uint64, ctypes.c_int,
         ctypes.c_int, ctypes.c_uint64, ctypes.POINTER(ctypes.c_longlong)]
+    lib.montgomery_mc.argtypes = [
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_longlong)]
+    lib.barrett_final_mc.argtypes = [
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_longlong)]
     return lib
 
 
@@ -106,4 +114,38 @@ def three_stage_mc(ftype: str, trials: int, S: int, P: int, W: int,
         "injected": inj,
         "undetected": und,
         "collision_prob": [u / i if i else 0.0 for u, i in zip(und, inj)],
+    }
+
+
+def montgomery_mc(fold_width: int, scheme, trials: int, pbits: int = 37,
+                  vec_len: int = 8192, flip_count: int = 2,
+                  seed: int = 42) -> Dict:
+    """Native montgomery_campaign (reduction_campaigns.py:178-259 semantics)
+    at archive trial counts (montgomery.py:148-190 role)."""
+    use_m, use_mp, use_final = (list(scheme) + [False, False])[:3]
+    out = (ctypes.c_longlong * 2)()
+    _lib().montgomery_mc(trials, pbits, vec_len, fold_width, int(use_m),
+                         int(use_mp), int(use_final), flip_count, seed, out)
+    TP, FN = out[0], out[1]
+    rate = TP / (TP + FN) if TP + FN else 1.0
+    return {"detection_rate": rate, "TP": TP, "FN": FN}
+
+
+def barrett_final_mc(s_bits: int, fault_model: int, trials: int,
+                     pbits: int = 37, vec_len: int = 8192,
+                     use_intra: bool = True, use_range: bool = True,
+                     use_sum: bool = True, seed: int = 1) -> Dict:
+    """Native barrett_final_campaign (Intra/Range/Sum x 4 fault models;
+    barrett_final.py:118-167 role) at the reference's 10k-trial scale."""
+    out = (ctypes.c_longlong * 4)()
+    _lib().barrett_final_mc(trials, pbits, s_bits, fault_model,
+                            int(use_intra), int(use_range), int(use_sum),
+                            vec_len, seed, out)
+    und, intra_only, inter_only, both = out[0], out[1], out[2], out[3]
+    return {
+        "miss_rate": und / trials if trials else 0.0,
+        "det_intra_only": intra_only,
+        "det_sum_only": inter_only,
+        "det_both": both,
+        "undetected": und,
     }

@@ -19,19 +19,18 @@ Structure per grid step (limb l, batch block of Bb polys):
   inverse:  mirror image: big per-digit matmul contracting k1 first, then
             per-poly small matmuls contracting k2.
 
-Two Mosaic-specific formulation rules (both found the hard way on v5e):
+Formulation notes (v5e):
 
   * The digit recombination uses Shoup multiplication (x*w with w' =
     floor(w*2^32/q) precomputed; valid for any x < 2^32, w < q) instead of
     Montgomery — 6 vs 9 VPU multiplies per term — with the negative-
     accumulator fix constant 2^32*w mod q (== the Montgomery-path U table).
-  * int8 digit operands for a matmul must NOT be concatenated along the
-    LANE axis inside the kernel: Mosaic miscompiles the fused
-    digitize->concat->matmul chain (silently wrong results; a scratch
-    roundtrip hangs the compiler).  The batched matmuls therefore use
-    per-digit weight splits W_j (pre-sliced at plan build) and accumulate
-    nd_x partial int32 matmuls.  Sublane-axis concats are fine and are used
-    for the per-poly small matmuls.
+  * Each of the four stage matrices carries its own digit width (s1.xb=7
+    vs s2.xb=6 at n=4096/30-bit) — the kernel digitizes per stage.
+  * Values are assembled with jnp.concatenate (never scratch write-then-
+    read, and no per-digit weight splits): scratch roundtrips and the
+    split-matmul formulation have both been observed to hang the Mosaic
+    compile on this runtime at large unroll factors.
 
 Role in the reference: this is the counterpart of the batched radix-8
 device NTT the reference's campaigns drive (reliability_test/ntt_test.cu:95,
@@ -70,13 +69,13 @@ class FusedNtt:
     ps_small_i: Tuple[int, int, int, bool]     # s2i (inv per-poly stage)
     # forward
     W1: jnp.ndarray                  # (L, nd_w*n2, nd_x*n2) int8 (stage-1 left)
-    W2s: Tuple[jnp.ndarray, ...]     # nd_x x (L, n1, nd_w*n1) int8 (stage-2 split)
+    W2: jnp.ndarray                  # (L, nd_x*n1, nd_w*n1) int8 (stage-2 right)
     Vf: jnp.ndarray                  # (G1, L, n2, n1) u32 folded twiddle (plain)
     Vfs: jnp.ndarray                 # Shoup companions
     Cf: jnp.ndarray                  # 2^32*Vf mod q (negative-acc fix)
     sc2: np.ndarray                  # (L, 3*G2) u32 SMEM table [V2 | V2s | C2]
     # inverse
-    W1is: Tuple[jnp.ndarray, ...]    # nd_x x (L, n1, nd_w*n1) int8 (i-stage-1 split)
+    W1i: jnp.ndarray                 # (L, nd_x*n1, nd_w*n1) int8 (i-stage-1 right)
     W2i: jnp.ndarray                 # (L, nd_w*n2, nd_x*n2) int8 (i-stage-2 left)
     Vi: jnp.ndarray
     Vis: jnp.ndarray
@@ -118,13 +117,6 @@ class FusedNtt:
                     t[li, 2 * G + g] = (v * R) % q
             return t
 
-        def split_right(Wd, k_piece):
-            """(L, nd_x*k, m) -> nd_x pieces (L, k, m), contiguous copies."""
-            nd = Wd.shape[1] // k_piece
-            W = np.asarray(Wd)
-            return tuple(jnp.asarray(np.ascontiguousarray(
-                W[:, j * k_piece:(j + 1) * k_piece, :])) for j in range(nd))
-
         Vf, Vfs, Cf = folded_shoup(Uf)
         Vi, Vis, Ci = folded_shoup(Ui)
         ps = lambda s: (s.xb, s.nd_x, s.nd_w, s.pair)
@@ -132,9 +124,9 @@ class FusedNtt:
             n=n, n1=n1, n2=n2,
             ps_small_f=ps(s1), ps_big_f=ps(s2),
             ps_big_i=ps(s1i), ps_small_i=ps(s2i),
-            W1=s1.Wd, W2s=split_right(s2.Wd, n1), Vf=Vf, Vfs=Vfs, Cf=Cf,
+            W1=s1.Wd, W2=s2.Wd, Vf=Vf, Vfs=Vfs, Cf=Cf,
             sc2=scalar_table(s2),
-            W1is=split_right(s1i.Wd, n1), W2i=s2i.Wd, Vi=Vi, Vis=Vis, Ci=Ci,
+            W1i=s1i.Wd, W2i=s2i.Wd, Vi=Vi, Vis=Vis, Ci=Ci,
             sc2i=scalar_table(s2i),
             q_col=np.asarray(qs, dtype=np.uint32).reshape(L, 1),
         )
@@ -149,10 +141,10 @@ class FusedNtt:
             n=self.n, n1=self.n1, n2=self.n2,
             ps_small_f=self.ps_small_f, ps_big_f=self.ps_big_f,
             ps_big_i=self.ps_big_i, ps_small_i=self.ps_small_i,
-            W1=self.W1[idx], W2s=tuple(w[idx] for w in self.W2s),
+            W1=self.W1[idx], W2=self.W2[idx],
             Vf=self.Vf[:, idx], Vfs=self.Vfs[:, idx], Cf=self.Cf[:, idx],
             sc2=self.sc2[idx],
-            W1is=tuple(w[idx] for w in self.W1is), W2i=self.W2i[idx],
+            W1i=self.W1i[idx], W2i=self.W2i[idx],
             Vi=self.Vi[:, idx], Vis=self.Vis[:, idx], Ci=self.Ci[:, idx],
             sc2i=self.sc2i[idx],
             q_col=self.q_col[idx],
@@ -224,18 +216,14 @@ def _small_stage(A, w_ref, V, Vs, C, q, ps, n2):
     return acc                                             # (n2, n1) u32
 
 
-def _big_stage_matmul(X, w_refs, ps):
-    """Batched stage: digitize (rows, n1) in place (no lane concat — the
-    per-digit weight split keeps every operand a plain elementwise value),
-    accumulate nd_x per-digit matmuls.  Returns (rows, nd_w*n1) int32."""
+def _big_stage_matmul(X, w_ref, ps):
+    """Batched stage: digitize (rows, n1) -> (rows, nd_x*n1) int8 (lane
+    concat), one right matmul.  Returns (rows, nd_w*n1) int32."""
     xb, nd_x, nd_w, pair = ps
     mask = (1 << xb) - 1
-    p = None
-    for j in range(nd_x):
-        dj = ((X >> (xb * j)) & mask).astype(jnp.int8)
-        term = jnp.dot(dj, w_refs[j], preferred_element_type=jnp.int32)
-        p = term if p is None else p + term
-    return p
+    digs = [((X >> (xb * j)) & mask).astype(jnp.int8) for j in range(nd_x)]
+    Xd = jnp.concatenate(digs, axis=1)
+    return jnp.dot(Xd, w_ref, preferred_element_type=jnp.int32)
 
 
 def _scalar_recombine(p, sc_ref, l, n1, q, ps):
@@ -256,40 +244,34 @@ def _scalar_recombine(p, sc_ref, l, n1, q, ps):
 
 def _fwd_kernel(ft: FusedNtt, Bb: int):
     n1, n2 = ft.n1, ft.n2
-    nd_big = ft.ps_big_f[1]
 
     def kernel(q_ref, sc2_ref, x_ref, w1_ref, vf_ref, vfs_ref, cf_ref,
-               *w2_and_out):
-        w2_refs = w2_and_out[:nd_big]
-        y_ref = w2_and_out[nd_big]
+               w2_ref, y_ref):
         l = pl.program_id(0)
         q = q_ref[l, 0]
         rows = []
         for b in range(Bb):
-            A = x_ref[0, b].reshape(n2, n1)
+            A = x_ref[0, 0, b].reshape(n2, n1)
             rows.append(_small_stage(A, w1_ref[0], vf_ref[:, 0],
                                      vfs_ref[:, 0], cf_ref[:, 0], q,
                                      ft.ps_small_f, n2))
         Bm = jnp.concatenate(rows, axis=0) if Bb > 1 else rows[0]
-        p2 = _big_stage_matmul(Bm, [w[0] for w in w2_refs], ft.ps_big_f)
-        y_ref[0] = _scalar_recombine(p2, sc2_ref, l, n1, q, ft.ps_big_f)
+        p2 = _big_stage_matmul(Bm, w2_ref[0], ft.ps_big_f)
+        y_ref[0, 0] = _scalar_recombine(p2, sc2_ref, l, n1, q, ft.ps_big_f)
 
     return kernel
 
 
 def _inv_kernel(ft: FusedNtt, Bb: int):
     n1, n2 = ft.n1, ft.n2
-    nd_big = ft.ps_big_i[1]
     ps_big, ps_small = ft.ps_big_i, ft.ps_small_i
 
     def kernel(q_ref, sc2_ref, y_ref, w2i_ref, vi_ref, vis_ref, ci_ref,
-               *w1i_and_out):
-        w1i_refs = w1i_and_out[:nd_big]
-        x_ref = w1i_and_out[nd_big]
+               w1i_ref, x_ref):
         l = pl.program_id(0)
         q = q_ref[l, 0]
-        Y = y_ref[0].reshape(Bb * n2, n1)
-        p = _big_stage_matmul(Y, [w[0] for w in w1i_refs], ps_big)
+        Y = y_ref[0, 0].reshape(Bb * n2, n1)
+        p = _big_stage_matmul(Y, w1i_ref[0], ps_big)
         # per-element folded twiddle recombination, tiled over the Bb polys
         xb_b, nd_x_b, nd_w_b, pair_b = ps_big
         acc = None
@@ -324,7 +306,7 @@ def _inv_kernel(ft: FusedNtt, Bb: int):
                 t = _shoup_term(gacc, sc2_ref[l, g], sc2_ref[l, G2 + g],
                                 sc2_ref[l, 2 * G2 + g], q)
                 out = t if out is None else _add_mod(out, t, q)
-            x_ref[0, b * n2:(b + 1) * n2] = out
+            x_ref[0, 0, b * n2:(b + 1) * n2] = out
 
     return kernel
 
@@ -344,8 +326,10 @@ def _block_bb(ft: FusedNtt, B: int) -> int:
     """Largest poly-block size that fits the VMEM budget (and divides B if
     possible; otherwise the wrapper pads)."""
     n = ft.n
-    nd_max = max(ft.ps_big_f[1], ft.ps_big_i[1])
-    per_b = n * 4 * 4 + n * nd_max       # x + out + int32 accs + digits (est)
+    # per-poly VMEM (measured shape accounting at n=65536): x + out + Bm
+    # (u32) + stage int32 accumulators (2 * nd_w * n * 4) + int8 digit
+    # operands (~2 * nd_x * n); ~42 bytes/coefficient total
+    per_b = n * 42
     cap = max(1, min(_MAX_BB, _VMEM_BUDGET // per_b))
     if B <= cap:
         return B
@@ -367,6 +351,9 @@ def _dispatch(ft: FusedNtt, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     nb = -(-B // Bb)
     if nb * Bb != B:
         xt = jnp.pad(xt, ((0, 0), (0, nb * Bb - B), (0, 0)))
+    # poly-block axis becomes its own dim so every BlockSpec's trailing two
+    # dims equal the full array dims (Mosaic layout constraint)
+    xt = xt.reshape(L, nb, Bb, n)
     y = _call(ft, xt, Bb, nb, inverse)
     y = y.reshape(L, nb * Bb, n)[:, :B]
     out = jnp.moveaxis(y, 0, 1)
@@ -383,30 +370,31 @@ def _call(ft: FusedNtt, xt: jnp.ndarray, Bb: int, nb: int, inverse: bool):
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if inverse:
         kernel = _inv_kernel(ft, Bb)
-        big_w, small_w = ft.W1is, ft.W2i
+        big_w, small_w = ft.W1i, ft.W2i
         V, Vs, C = ft.Vi, ft.Vis, ft.Ci
         sc = ft.sc2i
     else:
         kernel = _fwd_kernel(ft, Bb)
-        big_w, small_w = ft.W2s, ft.W1
+        big_w, small_w = ft.W2, ft.W1
         V, Vs, C = ft.Vf, ft.Vfs, ft.Cf
         sc = ft.sc2
     in_specs = [
         smem, smem,
-        vspec((1, Bb, n), lambda l, bb: (l, bb, 0)),
+        vspec((1, 1, Bb, n), lambda l, bb: (l, bb, 0, 0)),
         vspec((1,) + small_w.shape[1:], lambda l, bb: (l, 0, 0)),
         vspec((G1, 1, n2, n1), lambda l, bb: (0, l, 0, 0)),
         vspec((G1, 1, n2, n1), lambda l, bb: (0, l, 0, 0)),
         vspec((G1, 1, n2, n1), lambda l, bb: (0, l, 0, 0)),
-    ] + [vspec((1,) + w.shape[1:], lambda l, bb: (l, 0, 0)) for w in big_w]
-    out_spec = pl.BlockSpec((1, Bb * n2, n1), lambda l, bb: (l, bb, 0),
+        vspec((1,) + big_w.shape[1:], lambda l, bb: (l, 0, 0)),
+    ]
+    out_spec = pl.BlockSpec((1, 1, Bb * n2, n1), lambda l, bb: (l, bb, 0, 0),
                             memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
         kernel,
         grid=(L, nb),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((L, nb * Bb * n2, n1), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, nb, Bb * n2, n1), jnp.uint32),
         interpret=_INTERPRET,
     )
-    return fn(ft.q_col, sc, xt, small_w, V, Vs, C, *big_w)
+    return fn(ft.q_col, sc, xt, small_w, V, Vs, C, big_w)
