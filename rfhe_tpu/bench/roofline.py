@@ -45,17 +45,28 @@ def measure(n: int, limbs: int, batch: int):
     rows = []
 
     mp = MxuNttPlan.make(n, primes)
-    t_fwd = device_time(mp.fwd, x)
-    t_inv = device_time(mp.inv, x)
+    from ..ops import ntt_mxu
+    timings = []
+    if mp.fused is not None and ntt_mxu._use_fused():
+        timings.append(("fused_fwd", device_time(mp.fused.fwd, x)))
+        timings.append(("fused_inv", device_time(mp.fused.inv, x)))
+    # force the XLA composition (the CPU / fallback path)
+    saved = ntt_mxu._FUSED_ENABLED
+    ntt_mxu._FUSED_ENABLED = False
+    try:
+        timings.append(("mxu_fwd", device_time(mp.fwd, x)))
+        timings.append(("mxu_inv", device_time(mp.inv, x)))
+    finally:
+        ntt_mxu._FUSED_ENABLED = saved
     pp = ntt_pease.PeaseNttPlan.make(n, primes)
-    t_pease = device_time(lambda a: ntt_pease.negacyclic_ntt(a, pp), x)
+    timings.append(("pease_fwd",
+                    device_time(lambda a: ntt_pease.negacyclic_ntt(a, pp), x)))
 
     bfly = (n // 2) * (n.bit_length() - 1)
     macs = n * (mp.n1 + mp.n2) * mp.s1.nd_x * mp.s1.nd_w
     hbm = 2 * 4 * n
 
-    for name, t in (("mxu_fwd", t_fwd), ("mxu_inv", t_inv),
-                    ("pease_fwd", t_pease)):
+    for name, t in timings:
         tps = tr / t if t > 0 else float("inf")
         row = {
             "impl": name, "n": n, "limbs": limbs, "batch": batch,
@@ -64,7 +75,7 @@ def measure(n: int, limbs: int, batch: int):
             "butterflies_per_s": f"{tps * bfly:.3e}",
             "hbm_floor_pct": round(100 * tps * hbm / V5E_HBM_BPS, 2),
         }
-        if name.startswith("mxu"):
+        if name.startswith(("mxu", "fused")):
             ops = 2 * tps * macs           # MAC = mul+add
             row["int8_ops_per_s"] = f"{ops:.3e}"
             row["mxu_peak_pct"] = round(100 * ops / V5E_INT8_OPS, 2)

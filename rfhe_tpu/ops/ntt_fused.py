@@ -47,10 +47,14 @@ import numpy as np
 
 __all__ = ["FusedNtt"]
 
-# conservative per-program VMEM budget (v5e has ~16 MB/core; leave room for
-# double-buffered table blocks)
-_VMEM_BUDGET = 8 * 1024 * 1024
-_MAX_BB = 8          # kernel unrolls the poly loop; cap the unroll factor
+# per-program VMEM budget (v5e has ~16 MB/core; leave room for
+# double-buffered table blocks).  Device-measured sweep (v5e, 2026-08):
+#   n=4096/L21:  bb=8 36.7% -> bb=24 42.7% of int8 peak (bb=32 regresses)
+#   n=16384/L6:  bb=8 57.1%
+#   n=65536/L6:  bb=1 57.7% (bb=2 44.8%: more grid steps pipeline the
+#                table streaming better once a single poly fills VMEM)
+_VMEM_BUDGET = 12 * 1024 * 1024
+_MAX_BB = 24         # kernel unrolls the poly loop; cap the unroll factor
 
 
 @dataclass(frozen=True)
@@ -331,6 +335,9 @@ def _block_bb(ft: FusedNtt, B: int) -> int:
     # operands (~2 * nd_x * n); ~42 bytes/coefficient total
     per_b = n * 42
     cap = max(1, min(_MAX_BB, _VMEM_BUDGET // per_b))
+    if n >= 65536:
+        cap = 1          # measured: bb=1 beats bb=2 by 1.3x at n=65536
+
     if B <= cap:
         return B
     for bb in range(cap, 0, -1):

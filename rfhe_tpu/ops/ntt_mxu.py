@@ -61,9 +61,10 @@ __all__ = ["MxuNttPlan"]
 # The fused Pallas kernel (ops/ntt_fused.py) runs the whole four-step
 # pipeline in one VMEM pass on TPU; RFHE_TPU_FUSED_NTT=0 falls back to the
 # XLA composition below (always used on CPU, where Mosaic isn't available).
-# Opt-in (default 0) until each new kernel build is device-validated; the
-# validation driver flips this to 1 (see bench.py / tests/test_ntt_fused.py).
-_FUSED_ENABLED = os.environ.get("RFHE_TPU_FUSED_NTT", "0") == "1"
+# Default ON: device-validated bit-exact vs the XLA path at n=4096/16384/
+# 65536 across block sizes (2026-08, v5e; see ops/ntt_fused.py header) and
+# 2.1-2.5x faster (results/roofline_*.csv).
+_FUSED_ENABLED = os.environ.get("RFHE_TPU_FUSED_NTT", "1") == "1"
 
 
 def _use_fused() -> bool:
