@@ -192,6 +192,53 @@ def barrett_range_protected(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Montgomery product with the intra fold check (production evaluator path)
+# ---------------------------------------------------------------------------
+
+def mont_mul_checked(a: jnp.ndarray, b: jnp.ndarray, qb, qinvb,
+                     s_bits: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """u32.mont_mul plus the reference's intra fold product check
+    (barrett_final.py:137-142 adapted to Montgomery): the full 64-bit
+    product a·b is verified against fold(a)·fold(b) mod 2^s+1, and the
+    reduced output against the [0, q) range window.  The 64-bit product is
+    shared with the reduction (XLA CSE), so a fault in the multiplier
+    corrupts both the output and the checked value — and is caught by the
+    independent folded re-multiplication.  Returns (out, ok) elementwise."""
+    qb = jnp.asarray(qb, dtype=jnp.uint32)
+    qinvb = jnp.asarray(qinvb, dtype=jnp.uint32)
+    hi, lo = mul32_parts(a, b)
+    m = lo * qinvb
+    mq_hi, _ = mul32_parts(m, qb)
+    carry = (lo != 0).astype(jnp.uint32)
+    t = hi + mq_hi + carry
+    out = jnp.where(t >= qb, t - qb, t)
+    fa = fold_2s1_u32(a, s_bits)
+    fb = fold_2s1_u32(b, s_bits)
+    ph, pl = mul32_parts(fa, fb)
+    ok = (fold_2s1_u64(ph, pl, s_bits) == fold_2s1_u64(hi, lo, s_bits)) \
+        & (out < qb)
+    return out, ok
+
+
+def sum_u64_exact(v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact integer sum along the last axis of u32 values as a (hi, lo)
+    u64 pair (log-depth carry-tracked tree; last dim must be a power of 2).
+    Backbone of the keyswitch digit-extension ECC (fhe/protected.py): the
+    extension is linear over the integers mod each target modulus, so the
+    exact input sum reduces to a per-limb checksum."""
+    hi = jnp.zeros_like(v)
+    lo = v
+    assert (lo.shape[-1] & (lo.shape[-1] - 1)) == 0
+    while lo.shape[-1] > 1:
+        h = lo.shape[-1] // 2
+        s = lo[..., :h] + lo[..., h:]
+        c = (s < lo[..., :h]).astype(jnp.uint32)
+        hi = hi[..., :h] + hi[..., h:] + c
+        lo = s
+    return hi[..., 0], lo[..., 0]
+
+
+# ---------------------------------------------------------------------------
 # base-conversion appended-checksum ECC
 # ---------------------------------------------------------------------------
 
