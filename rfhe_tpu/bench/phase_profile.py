@@ -1,0 +1,224 @@
+"""Device-true rotation phase breakdown via the slope method (VERDICT
+round-2 item #3 — replaces trace/profiled.py's per-phase host timings,
+whose separately-dispatched phases each paid the ~2.5-3 ms tunnel floor
+and produced N-independent totals).
+
+Each keyswitch phase is wrapped in a shape-preserving body and timed with
+bench/devtime.device_time (total time of body^r inside ONE jit at two
+repetition counts; the slope cancels dispatch cost exactly).  Wrappers add
+O(L·N) glue (an add / slice / concat) to keep the phase's work live across
+fori_loop iterations without materializing new buffers — bias well under
+the phases' own cost.  Values become garbage after the first rep; every op
+in the pipeline is data-independent (branch-free u32 arithmetic), so the
+timing is unaffected.
+
+Phases (reference kernel-line categories, profile_framewk sum_trace):
+  PERMUTE   galois slot gather
+  INTT      c1 to coefficient domain
+  BASECONV  digit extension to the (Q, p) basis
+  NTT       forward transform of all digits
+  MULTEVK   two dyadic MACs against the key + digit tree-sums
+  MODDOWN   divide-and-round by the special prime
+Mapping to draw_rotation.py's shares: NTT = INTT+NTT, ModMul = MULTEVK,
+BaseConv = BASECONV, Others = PERMUTE+MODDOWN.
+
+Usage:
+  python -m rfhe_tpu.bench.phase_profile rotation --ns 2048,4096,...,65536
+      --limbs 21 [--csv results/rotation_profile.csv]
+  python -m rfhe_tpu.bench.phase_profile dnum --n 4096 --limbs 21
+      --dnums 2,3,4,6,8,12,24 [--csv results/dnum_N4096.csv]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+from typing import Dict
+
+
+def _phase_times(ckks, level: int, r1: int = 4, r2: int = 32,
+                 iters: int = 6) -> Dict[str, float]:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ..fhe.keys import _basis_plan, _sum_digits, compute_digits
+    from ..fhe.rns import drop_limb
+    from ..ops import u32
+    from ..ops.ntt_pease import negacyclic_intt, negacyclic_ntt
+    from .devtime import device_time
+
+    ctx = ckks.ctx
+    n = ckks.params.n
+    L = ckks.L
+    n_sp = len(ctx.moduli) - L
+    sp_idx = list(range(L, L + n_sp))
+    active = level + 1
+    lim = list(range(active)) + sp_idx
+    sub_plan = _basis_plan(ctx, lim)
+    plan = ctx.plan.slice(active)
+    g = ckks.rotation_galois_element(1)
+    perm = jnp.asarray(ctx.galois_perm(g))
+    ksk = ckks.galois_key(g)
+    lim_idx = jnp.asarray(lim)
+    dig0, used, _ = compute_digits(
+        jnp.zeros((active, n), jnp.uint32), level, ctx, L, ckks.dnum)
+    used_idx = jnp.asarray(used)
+    kb = ksk.b[used_idx][:, lim_idx]
+    ka = ksk.a[used_idx][:, lim_idx]
+    q_lim = sub_plan.q_arr[:, None]
+
+    rng = np.random.default_rng(0)
+    x_act = jnp.asarray(np.stack([
+        rng.integers(0, int(ctx.moduli[i]), n, dtype=np.uint32)
+        for i in range(active)]))
+    x_dig = jnp.asarray(np.stack([np.stack([
+        rng.integers(0, int(ctx.moduli[i]), n, dtype=np.uint32)
+        for i in lim]) for _ in used]))
+    x_acc = jnp.asarray(np.stack([
+        rng.integers(0, int(ctx.moduli[i]), n, dtype=np.uint32)
+        for i in lim]))
+
+    def t(body, x):
+        return device_time(body, x, r1=r1, r2=r2, iters=iters)
+
+    out: Dict[str, float] = {}
+    out["PERMUTE"] = t(lambda c: c[:, perm], x_act)
+    out["INTT"] = t(lambda c: negacyclic_intt(c, plan), x_act)
+
+    def baseconv(d):
+        dig, _, _ = compute_digits(d, level, ctx, L, ckks.dnum)
+        # fold the (D, n_lim, N) digits back onto the (active, N) input:
+        # keeps every extension limb live (no DCE), adds D*n_lim*N wrapping
+        # adds, and is shape-preserving for any digit count (dnum sweeps)
+        return d + jnp.sum(dig.astype(jnp.uint32), axis=(0, 1))[None, :]
+
+    out["BASECONV"] = t(baseconv, x_act)
+    out["NTT"] = t(lambda d: negacyclic_ntt(d, sub_plan), x_dig)
+
+    def multevk(dn):
+        qinv = sub_plan.qinv_arr[:, None]
+        t0 = u32.mont_mul(dn, kb, q_lim, qinv)
+        t1 = u32.mont_mul(dn, ka, q_lim, qinv)
+        a0 = _sum_digits(t0, q_lim)
+        a1 = _sum_digits(t1, q_lim)
+        return dn + a0[None] + a1[None]        # wrapping glue, keeps both live
+
+    out["MULTEVK"] = t(multevk, x_dig)
+
+    def moddown(acc):
+        a = acc
+        for k_i in range(n_sp - 1, -1, -1):
+            keep = list(range(active)) + sp_idx[:k_i]
+            a = drop_limb(a, sp_idx[k_i], keep, ctx)
+        return jnp.concatenate([a, acc[a.shape[0]:]], axis=0)
+
+    out["MODDOWN"] = t(moddown, x_acc)
+    return out
+
+
+def rotation_total(ckks, level: int, r1: int = 4, r2: int = 32,
+                   iters: int = 6) -> float:
+    """Device time of the full fused rotation (shape-preserving by nature)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ..fhe.ckks import Ciphertext
+    from ..fhe.rns import RnsPoly
+    from .devtime import device_time
+
+    n = ckks.params.n
+    rng = np.random.default_rng(1)
+    cs = [jnp.asarray(np.stack([
+        rng.integers(0, int(ckks.ctx.moduli[i]), n, dtype=np.uint32)
+        for i in range(level + 1)])) for _ in range(2)]
+    g = ckks.rotation_galois_element(1)
+    ksk = ckks.galois_key(g)
+
+    def body(c01):
+        ct = Ciphertext([RnsPoly(c01[0], True), RnsPoly(c01[1], True)], 1.0)
+        out = ckks._apply_galois_impl(ct, ksk, g)
+        return jnp.stack([out.c[0].data, out.c[1].data])
+
+    return device_time(body, jnp.stack(cs), r1=r1, r2=r2, iters=iters)
+
+
+def _shares(ph: Dict[str, float]) -> Dict[str, float]:
+    ntt = ph["NTT"] + ph["INTT"]
+    modmul = ph["MULTEVK"]
+    baseconv = ph["BASECONV"]
+    others = ph["PERMUTE"] + ph["MODDOWN"]
+    s = ntt + modmul + baseconv + others
+    return {"NTT": ntt / s, "ModMul": modmul / s, "BaseConv": baseconv / s,
+            "Others": others / s, "sum_us": s * 1e6}
+
+
+def _write(path, cols, rows):
+    w = csv.DictWriter(sys.stdout, fieldnames=cols)
+    w.writeheader()
+    for r in rows:
+        w.writerow(r)
+    if path:
+        with open(path, "w", newline="") as f:
+            wf = csv.DictWriter(f, fieldnames=cols)
+            wf.writeheader()
+            for r in rows:
+                wf.writerow(r)
+        print("wrote", path, file=sys.stderr)
+
+
+def main(argv=None) -> None:
+    from ..utils.compilecache import enable_compilation_cache
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("cmd", choices=["rotation", "dnum"])
+    ap.add_argument("--ns", default="2048,4096,8192,16384,32768,65536")
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--limbs", type=int, default=21)
+    ap.add_argument("--dnums", default="2,3,4,6,8,12,24")
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--r2", type=int, default=32)
+    args = ap.parse_args(argv)
+    from ..fhe.ckks import CkksContext
+    from ..fhe.params import CkksParams
+
+    rows = []
+    cols = ["n", "limbs", "dnum", "PERMUTE_us", "INTT_us", "BASECONV_us",
+            "NTT_us", "MULTEVK_us", "MODDOWN_us", "total_us",
+            "NTT", "ModMul", "BaseConv", "Others"]
+    if args.cmd == "rotation":
+        for n in [int(v) for v in args.ns.split(",")]:
+            limbs = min(args.limbs, max(3, n // 256))
+            params = CkksParams.make(n=n, levels=(limbs - 1) // 2)
+            ckks = CkksContext(params)
+            level = ckks.L - 1
+            ph = _phase_times(ckks, level, r2=args.r2)
+            tot = rotation_total(ckks, level, r2=args.r2)
+            sh = _shares(ph)
+            rows.append({
+                "n": n, "limbs": ckks.L, "dnum": "",
+                **{f"{k}_us": round(v * 1e6, 2) for k, v in ph.items()},
+                "total_us": round(tot * 1e6, 2),
+                **{k: round(sh[k], 4) for k in
+                   ("NTT", "ModMul", "BaseConv", "Others")},
+            })
+            print(rows[-1], file=sys.stderr, flush=True)
+    else:
+        for dnum in [int(v) for v in args.dnums.split(",")]:
+            params = CkksParams.make(n=args.n, levels=(args.limbs - 1) // 2)
+            ckks = CkksContext(params, dnum=dnum)
+            level = ckks.L - 1
+            ph = _phase_times(ckks, level, r2=args.r2)
+            tot = rotation_total(ckks, level, r2=args.r2)
+            sh = _shares(ph)
+            rows.append({
+                "n": args.n, "limbs": ckks.L, "dnum": dnum,
+                **{f"{k}_us": round(v * 1e6, 2) for k, v in ph.items()},
+                "total_us": round(tot * 1e6, 2),
+                **{k: round(sh[k], 4) for k in
+                   ("NTT", "ModMul", "BaseConv", "Others")},
+            })
+            print(rows[-1], file=sys.stderr, flush=True)
+    _write(args.csv, cols, rows)
+
+
+if __name__ == "__main__":
+    main()

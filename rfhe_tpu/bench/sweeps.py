@@ -363,12 +363,16 @@ def sweep_composition(args) -> None:
     """Measured op composition (build/data/draw_pie_chart.py analog):
     group 'dotprod' = evaluator-op shares of the encrypted dot product
     (rotate-fold tree: log2(slots) rotations + adds, one mult+relin, one
-    rescale); group 'rotate' = the rotation's internal phase split from
-    ProfiledRotation (NTT/INTT/BaseConv/ApplyEvalKey/ModDown/Permute)."""
-    import jax
+    rescale); group 'rotate' = the rotation's internal device-true phase
+    split (bench/phase_profile slope method — the ProfiledRotation host
+    timings paid the tunnel dispatch floor per phase and were dropped)."""
+    import jax.numpy as jnp
     import numpy as np
     from ..fhe import CkksContext, CkksParams
-    from ..trace import ProfiledRotation
+    from ..fhe.ckks import Ciphertext
+    from ..fhe.rns import RnsPoly
+    from .devtime import device_time
+    from .phase_profile import _phase_times
 
     n = args.N if args.N > 256 else 4096
     ckks = CkksContext(CkksParams.make(n=n, levels=args.levels + 2,
@@ -377,31 +381,52 @@ def sweep_composition(args) -> None:
     rng = np.random.default_rng(0)
     z = rng.uniform(-1, 1, n // 2) + 0j
     ct = ckks.encrypt(*ckks.encode(z))
+    lvl = ct.level
+    scale = ct.scale
+    g = ckks.rotation_galois_element(1)
+    ksk = ckks.galois_key(g)
+    rlk = ckks.rlk              # materialize OUTSIDE the traced bodies
+    x = jnp.stack([ct.c[0].data, ct.c[1].data])
 
-    def wall_us(fn, iters=20):
-        out = fn()
-        jax.block_until_ready(out.c[0].data)
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out.c[0].data)
-        return (time.time() - t0) / iters * 1e6
+    def mk(c01):
+        return Ciphertext([RnsPoly(c01[0], True), RnsPoly(c01[1], True)],
+                          scale)
 
-    t_rot = wall_us(lambda: ckks.rotate(ct, 1))
-    t_mul = wall_us(lambda: ckks.multiply_relin(ct, ct))
-    prod = ckks.multiply_relin(ct, ct)
-    t_rescale = wall_us(lambda: ckks.rescale(prod))
-    t_add = wall_us(lambda: ckks.add(ct, ct))
+    def pack(out):
+        return jnp.stack([out.c[0].data, out.c[1].data])
+
+    # shape-preserving bodies (values become garbage after rep 1; every op
+    # is branch-free u32 arithmetic, so timing is data-independent)
+    def rot_body(c01):
+        return pack(ckks._apply_galois_impl(mk(c01), ksk, g))
+
+    def mul_body(c01):
+        return pack(ckks._relinearize_impl(
+            ckks._multiply_impl(mk(c01), mk(c01)), rlk))
+
+    def mul_rescale_body(c01):
+        out = ckks._rescale_impl(ckks._relinearize_impl(
+            ckks._multiply_impl(mk(c01), mk(c01)), rlk))
+        # pad dropped top limbs back so the body is shape-preserving
+        k = c01.shape[1] - out.c[0].data.shape[0]
+        return jnp.stack([
+            jnp.concatenate([out.c[0].data, c01[0, lvl + 1 - k:]], axis=0),
+            jnp.concatenate([out.c[1].data, c01[1, lvl + 1 - k:]], axis=0)])
+
+    def add_body(c01):
+        return pack(ckks._add_impl(mk(c01), mk(c01)))
+
+    t_rot = device_time(rot_body, x) * 1e6
+    t_mul = device_time(mul_body, x) * 1e6
+    t_rescale = max(device_time(mul_rescale_body, x) * 1e6 - t_mul, 0.0)
+    t_add = device_time(add_body, x) * 1e6
     n_rot = (n // 2).bit_length() - 1
     costs = {"Rotate": n_rot * t_rot, "HMul+Relin": t_mul,
              "Rescale": t_rescale, "Add": n_rot * t_add}
     tot = sum(costs.values())
 
-    prof = ProfiledRotation(ckks)
-    prof.rotate(ct, 1)
-    prof.rotate(ct, 1)
-    phases = prof.last_collector.totals()
-    rot_parts = {k: v for k, v in phases.items() if k != "ROTATE"}
+    rot_parts = {k: v * 1e6
+                 for k, v in _phase_times(ckks, lvl).items()}
     rtot = sum(rot_parts.values())
 
     f, w, path = _writer(args.out, "op_composition.csv")

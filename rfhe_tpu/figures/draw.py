@@ -144,29 +144,37 @@ def fig_err_scatter(args):
 
 
 def fig_evaluator(args):
-    """Model figure: evaluator failure rate vs raw hardware error rate.
-    n_ops = modmul count per evaluator op; protected curve multiplies by the
-    detector miss rate (draw_evaluator_reliability.py semantics)."""
+    """Evaluator failure rate vs raw hardware error rate, one protected
+    curve PER FAULT MODEL with the miss rate MEASURED by the repo's own
+    campaigns (draw_evaluator_reliability.py:10-35 semantics): reads the
+    committed 1M-trial scenario table (miss per fault kind, averaged over
+    the three pipeline stages) instead of a scalar --miss-rate."""
     n, L, dnum = 32768, 21, 21
-    ops = {
-        "Rotation": n * L * dnum * 3,          # keyswitch NTT butterflies order
-        "HMul-BFV": n * L * 8,
-        "HMul-CKKS": n * L * 6,
-    }
-    miss = args.miss_rate
+    n_ops = n * L * dnum * 3          # keyswitch modmul count order (Rotation)
+    path = args.data or "results/reliaNTT_scenarios_N64_q769_T1000000.csv"
+    miss_by_kind = {}
+    if os.path.exists(path):
+        acc = {}
+        for r in _read(path):
+            if "+" in r["scenario"]:
+                continue              # single-fault models only (reference)
+            acc.setdefault(r["scenario"], []).append(float(r["miss_rate"]))
+        miss_by_kind = {k: sum(v) / len(v) for k, v in acc.items()}
+    if not miss_by_kind:
+        miss_by_kind = {"model": args.miss_rate}
     eps = np.logspace(-14, -8, 40)
     fig, ax = new_fig()
-    for ci, (name, nops) in enumerate(ops.items()):
-        base = 1 - (1 - eps) ** nops
-        ax.plot(eps, base, color=PALETTE[ci], label=f"{name} baseline")
-        ax.plot(eps, base * miss, color=PALETTE[ci], linestyle="--",
-                label=f"{name} protected")
+    base = 1 - (1 - eps) ** n_ops
+    ax.plot(eps, base, color="black", label="unprotected")
+    for ci, (kind, miss) in enumerate(sorted(miss_by_kind.items())):
+        ax.plot(eps, base * max(miss, 1e-12), color=PALETTE[ci % len(PALETTE)],
+                linestyle="--", label=f"protected {kind} (miss={miss:.2e})")
     ax.set_xscale("log")
     ax.set_yscale("log")
     ax.set_xlabel("raw hardware error rate")
     ax.set_ylabel("evaluator failure rate")
-    ax.set_title(f"Evaluator failure vs HW error rate (miss={miss:g})")
-    ax.legend(fontsize=7)
+    ax.set_title("Evaluator failure vs HW error rate (measured miss rates)")
+    ax.legend(fontsize=6)
     print(save(fig, args.out, "evaluator_reliability.png"))
 
 
@@ -333,7 +341,37 @@ def fig_poly_rot_mul(args):
     print(save(fig, args.out, "poly_rot_mul.png"))
 
 
+def fig_motivation(args):
+    """eva_0-class motivation figure (draw_dotprod.py:47-70 analog): one
+    injected fault smears across (nearly) the whole output of every FHE
+    primitive — computed live from models/motivation (deterministic)."""
+    from ..models import motivation as M
+    cases = [
+        ("NTT\n1 flip", M.ntt_smear(n=256)["fraction"]),
+        ("FFT encode\n1 perturb", M.fft_smear(n=256)["fraction"]),
+        ("BSGS matmul\n1 flip", (lambda r: r["disturbed"] / r["dim"])(
+            M.bsgs_block_smear())),
+        ("BaseConv\n1 flip", (lambda r: r["elements_disturbed"] / 32)(
+            M.baseconv_smear(n_el=32))),
+        ("Plaintext mult\n1 perturb", (lambda r: r["disturbed"] /
+                                       r["slots"])(M.plaintext_perturb())),
+    ]
+    fig, ax = new_fig()
+    xs = np.arange(len(cases))
+    ax.bar(xs, [c[1] for c in cases], color=PALETTE[0])
+    for x, (_, v) in zip(xs, cases):
+        ax.text(x, min(v + 0.02, 1.02), f"{100 * v:.0f}%", ha="center",
+                fontsize=8)
+    ax.set_xticks(xs)
+    ax.set_xticklabels([c[0] for c in cases], fontsize=7)
+    ax.set_ylim(0, 1.1)
+    ax.set_ylabel("fraction of output slots disturbed")
+    ax.set_title("One fault smears the whole ciphertext (motivation)")
+    print(save(fig, args.out, "motivation_smear.png"))
+
+
 FIGS = {
+    "motivation": fig_motivation,
     "rotation": fig_rotation,
     "barrett": fig_barrett,
     "ntt_reliability": fig_ntt_reliability,

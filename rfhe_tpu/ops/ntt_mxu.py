@@ -71,6 +71,36 @@ def _use_fused() -> bool:
     return _FUSED_ENABLED and jax.default_backend() == "tpu"
 
 
+def _validate_fused(plan_xla: "MxuNttPlan", fused, qs) -> bool:
+    """Device self-validation gate for the fused Pallas kernel: compare one
+    fused forward+inverse against the XLA composition at plan build (eager,
+    outside jit) and keep the kernel only on a bit-exact match.
+
+    Load-bearing: Mosaic has been observed to MISCOMPILE the inverse kernel
+    silently for specific (shape, prime-width) combinations — e.g. 31-bit
+    primes at n=1024 (n2=8) produce wrong values with no error, while
+    n>=2048 and narrower primes are exact (caught by protect/ntt_guard's
+    projection check, 2026-08).  Rather than hand-maintaining a blocklist of
+    known-bad shapes, every plan proves its own kernel once at build; a
+    mismatch falls back to the XLA path for that plan.  Costs two transforms
+    per plan build on TPU; skipped entirely on CPU / when fused is off."""
+    rng = np.random.default_rng(0xF5ED)
+    x = jnp.asarray(np.stack([
+        rng.integers(0, q, plan_xla.n, dtype=np.uint32) for q in qs]))
+    y_ref = plan_xla.fwd(x)
+    if not bool(jnp.array_equal(fused.fwd(x), y_ref)):
+        import warnings
+        warnings.warn(f"fused NTT fwd mismatch at n={plan_xla.n}; "
+                      "falling back to the XLA path for this plan")
+        return False
+    if not bool(jnp.array_equal(fused.inv(y_ref), plan_xla.inv(y_ref))):
+        import warnings
+        warnings.warn(f"fused NTT inv mismatch at n={plan_xla.n}; "
+                      "falling back to the XLA path for this plan")
+        return False
+    return True
+
+
 def _pow_table(base: int, count: int, q: int) -> np.ndarray:
     out = np.empty(count, dtype=np.uint64)
     v = 1
@@ -183,13 +213,24 @@ class MxuNttPlan:
         Ui_j = jnp.asarray(folded(Ti, s1i))
         from .ntt_fused import FusedNtt
         fused = FusedNtt.make(n, n1, n2, s1, s2, Uf_j, s1i, s2i, Ui_j, qs)
-        return cls(
+        plan = cls(
             n=n, n1=n1, n2=n2,
             q_arr=jnp.asarray(q_arr), qinv_arr=jnp.asarray(qinv_arr),
             s1=s1, s2=s2,
             Uf=Uf_j,
             s1i=s1i, s2i=s2i,
             Ui=Ui_j,
+            nu=nu, nu_inv=nu_inv, fused=None,
+        )
+        # On TPU the kernel must prove itself once per plan (see
+        # _validate_fused); on CPU it stays attached for the interpret-mode
+        # tests but is never dispatched (_use_fused is False there).
+        if _use_fused() and not _validate_fused(plan, fused, qs):
+            return plan
+        return cls(
+            n=n, n1=n1, n2=n2,
+            q_arr=plan.q_arr, qinv_arr=plan.qinv_arr,
+            s1=s1, s2=s2, Uf=Uf_j, s1i=s1i, s2i=s2i, Ui=Ui_j,
             nu=nu, nu_inv=nu_inv, fused=fused,
         )
 

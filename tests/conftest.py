@@ -23,3 +23,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# Marker taxonomy (README "Running the tests"):
+#   -m smoke        core-correctness subset, < 5 min on this box
+#   -m "not slow"   everything except the statistical recompute campaigns
+SMOKE_MODULES = {
+    "test_numth", "test_u32_ops", "test_oracle", "test_ntt_mxu",
+    "test_protect", "test_protected", "test_serialize", "test_bigint",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "smoke: fast core-correctness subset")
+    config.addinivalue_line(
+        "markers", "slow: statistical recompute campaigns (minutes)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)

@@ -1,0 +1,127 @@
+"""Statistical parity vs the reference's archived campaign tables
+(VERDICT round-2 item #6): drift from the reference's detection behavior
+fails CI instead of surviving in an unread CSV.
+
+Two layers:
+  1. Committed-archive regression: the repo's own 1M/10k-trial CSVs
+     (results/) must sit within binomial CI of BASELINE.md's tables.
+  2. Recompute (slow-marked): the native OpenMP engine re-runs the flagship
+     campaigns at 100k trials and must land within CI of the same values.
+
+Reference values (BASELINE.md):
+  reliaNTT 1M trials, N=64, q=769, fold=24
+    (rfhe_framewk/src/ntt_test/reliaNTT_test_result.txt:1-30):
+    SBF/DBF stage-2 miss = 0.000000; stage-1/3 miss ~ 0.0013
+  Barrett fold-width ramp (rfhe_framewk/src/draw_barrett.py:10-80):
+    T-stage ECC ~ 0.50 flat; SN-stage 0.668 -> 1.000 (fw 2 -> 16);
+    final-range 1.000
+"""
+import csv
+import math
+import os
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rows(name):
+    path = os.path.join(HERE, "results", name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not committed")
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def _ci(p_ref: float, trials: int, z: float = 4.0) -> float:
+    """z-sigma binomial half-width around p_ref (floored for p_ref=0)."""
+    return z * math.sqrt(max(p_ref, 1e-7) * (1 - p_ref) / trials) + 1e-7
+
+
+# ---------------------------------------------------------------------------
+# 1. committed-archive regression vs BASELINE.md
+# ---------------------------------------------------------------------------
+
+def test_committed_reliaNTT_scenarios_match_reference():
+    rows = _rows("reliaNTT_scenarios_N64_q769_T1000000.csv")
+    T = 1_000_000
+    by = {(r["scenario"], int(r["stage"])): float(r["miss_rate"])
+          for r in rows}
+    # stage 2 (twiddle, intra fold) catches everything for SBF/DBF
+    assert by[("SBF", 1)] == 0.0
+    assert by[("DBF", 1)] == 0.0
+    # stages 1/3 miss ~0.0013 (projection collision at q=769)
+    for kind in ("SBF", "DBF"):
+        for st in (0, 2):
+            assert abs(by[(kind, st)] - 0.0013) < _ci(0.0013, T), (kind, st)
+    # multi-fault SBF+SBF doubles the collision odds (~0.0048-0.0049)
+    for st in (0, 2):
+        assert abs(by[("SBF+SBF", st)] - 0.00485) < _ci(0.00485, T) + 4e-4
+    assert by[("SBF+SBF", 1)] == 0.0
+
+
+def test_committed_barrett_fold_ramp_matches_reference():
+    rows = _rows("barrett_fold_MOF_T10000.csv")
+    T = 10_000
+    sn = {int(r["fold_width"]): float(r["detection_rate"])
+          for r in rows if r["use_sn"] == "1"}
+    t = {int(r["fold_width"]): float(r["detection_rate"])
+         for r in rows if r["use_t"] == "1"}
+    fin = {int(r["fold_width"]): float(r["detection_rate"])
+           for r in rows if r["use_final"] == "1"}
+    assert abs(sn[2] - 0.668) < _ci(0.668, T) + 0.02     # draw_barrett.py:10
+    assert sn[16] > 0.995 and sn[24] > 0.995
+    # T-stage ECC converges to ~0.50 (the reference's flat asymptote) once
+    # the fold window covers the randomized element (fw >= 8)
+    for fw, v in t.items():
+        if fw >= 8:
+            assert abs(v - 0.50) < _ci(0.5, T) + 0.02, ("T-stage", fw)
+    assert t[2] < t[8] <= 1.0
+    for fw, v in fin.items():
+        assert v > 0.999, ("final range", fw)
+
+
+def test_committed_pbits_native_collision_floor():
+    """MCF-CLE is the only fault type with a nonzero collision floor
+    (~3e-6 at 19-bit primes, draw_ntt_reliability.py:32-38); every other
+    type must be exactly zero for pbits >= 5."""
+    rows = _rows("pbits_native_W24_N64_T1000000.csv")
+    for r in rows:
+        p = float(r["collision_prob"])
+        pbits = int(r["pbits"])
+        if r["ftype"] == "MCF-CLE":
+            continue
+        if pbits >= 5:
+            assert p == 0.0, (r["ftype"], pbits, p)
+    cle = [float(r["collision_prob"]) for r in rows
+           if r["ftype"] == "MCF-CLE" and int(r["pbits"]) <= 14]
+    assert any(p > 0 for p in cle), "MCF-CLE floor must be resolved"
+
+
+# ---------------------------------------------------------------------------
+# 2. native-engine recompute (slow)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_native_reliaNTT_recompute_within_ci():
+    pytest.importorskip("ctypes")
+    from rfhe_tpu import native
+    T = 100_000
+    res = native.four_step_mc("SBF", T, 64, 769, 24, seed=11)
+    assert abs(res["miss_rate"] - 0.0013 * 2 / 3) < 6 * _ci(0.0013, T) + 5e-4
+    res_mlf = native.four_step_mc("MLF", T, 64, 769, 24, seed=11)
+    assert res_mlf["miss_rate"] < 0.01
+
+
+@pytest.mark.slow
+def test_barrett_scheme_recompute_within_ci():
+    from rfhe_tpu.faults.reduction_campaigns import barrett_scheme_campaign
+    T = 4000
+    res = barrett_scheme_campaign(2, (False, True, False), T, pbits=37,
+                                  vec_len=1024, bits_per_elem=1, seed=5,
+                                  fault="MOF")
+    assert abs(res["detection_rate"] - 0.668) < 6 * _ci(0.668, T) + 0.03
+    res16 = barrett_scheme_campaign(16, (False, True, False), T, pbits=37,
+                                    vec_len=1024, bits_per_elem=1, seed=5,
+                                    fault="MOF")
+    assert res16["detection_rate"] > 0.99
