@@ -369,7 +369,6 @@ def _dispatch(ft: FusedNtt, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
 
 def _call(ft: FusedNtt, xt: jnp.ndarray, Bb: int, nb: int, inverse: bool):
     L, n, n1, n2 = ft.L, ft.n, ft.n1, ft.n2
-    G1 = ft.Vf.shape[0]
 
     def vspec(shape3, imap):
         return pl.BlockSpec(shape3, imap, memory_space=pltpu.VMEM)
@@ -385,6 +384,12 @@ def _call(ft: FusedNtt, xt: jnp.ndarray, Bb: int, nb: int, inverse: bool):
         big_w, small_w = ft.W2, ft.W1
         V, Vs, C = ft.Vf, ft.Vfs, ft.Cf
         sc = ft.sc2
+    # Digit-group count of the folded-twiddle tables for THIS direction.
+    # (Vf and Vi group counts can differ — e.g. 31-bit primes where the
+    # inverse big stage needs 5 weight digits but the forward small stage
+    # packs into 4; using Vf's count for the inverse BlockSpec read past the
+    # block and silently corrupted the recombination.)
+    G1 = V.shape[0]
     in_specs = [
         smem, smem,
         vspec((1, 1, Bb, n), lambda l, bb: (l, bb, 0, 0)),

@@ -72,32 +72,63 @@ def _use_fused() -> bool:
 
 
 def _validate_fused(plan_xla: "MxuNttPlan", fused, qs) -> bool:
-    """Device self-validation gate for the fused Pallas kernel: compare one
+    """Device self-validation gate for the fused Pallas kernel: compare
     fused forward+inverse against the XLA composition at plan build (eager,
     outside jit) and keep the kernel only on a bit-exact match.
 
-    Load-bearing: Mosaic has been observed to MISCOMPILE the inverse kernel
-    silently for specific (shape, prime-width) combinations — e.g. 31-bit
-    primes at n=1024 (n2=8) produce wrong values with no error, while
-    n>=2048 and narrower primes are exact (caught by protect/ntt_guard's
-    projection check, 2026-08).  Rather than hand-maintaining a blocklist of
-    known-bad shapes, every plan proves its own kernel once at build; a
-    mismatch falls back to the XLA path for that plan.  Costs two transforms
-    per plan build on TPU; skipped entirely on CPU / when fused is off."""
+    History: this gate caught a real kernel bug — the inverse used the
+    FORWARD twiddle table's digit-group count for its BlockSpec, reading
+    past the block whenever the inverse big stage needed more weight digits
+    (31-bit primes at n2 ∉ {32,128,256}); fixed in ops/ntt_fused.py:_call.
+    The gate stays as defense-in-depth against genuine Mosaic miscompiles:
+    every plan proves its own kernel once at build.  Three vectors per
+    direction, including adversarial extremes (all q-1 maximizes every
+    partial product / carry path; a lone q-1 spike exercises the twiddle
+    recombination at a single max magnitude) — data-dependent overflow bugs
+    that one random vector can miss (round-3 advisor finding).
+
+    A mismatch falls back to the XLA path (both are bit-exact, so this is
+    perf-only) UNLESS RFHE_TPU_FUSED_STRICT=1, which raises — used by the
+    committed shape-grid audit (bench/fused_validate.py) so regressions
+    fail loudly on TPU instead of silently downgrading."""
+    n = plan_xla.n
     rng = np.random.default_rng(0xF5ED)
-    x = jnp.asarray(np.stack([
-        rng.integers(0, q, plan_xla.n, dtype=np.uint32) for q in qs]))
-    y_ref = plan_xla.fwd(x)
-    if not bool(jnp.array_equal(fused.fwd(x), y_ref)):
+    qarr = np.asarray(qs, dtype=np.uint32)
+    vecs = []
+    vecs.append(np.stack([rng.integers(0, q, n, dtype=np.uint32) for q in qs]))
+    vecs.append(np.broadcast_to((qarr - 1)[:, None], (len(qs), n)).copy())
+    spike = np.zeros((len(qs), n), dtype=np.uint32)
+    spike[:, 0] = qarr - 1
+    spike[:, n // 2] = 1
+    vecs.append(spike)
+
+    def fail(direction: str) -> bool:
+        msg = (f"fused NTT {direction} mismatch at n={n}; "
+               "falling back to the XLA path for this plan")
+        if os.environ.get("RFHE_TPU_FUSED_STRICT", "0") == "1":
+            raise AssertionError(msg)
         import warnings
-        warnings.warn(f"fused NTT fwd mismatch at n={plan_xla.n}; "
-                      "falling back to the XLA path for this plan")
+        warnings.warn(msg)
         return False
-    if not bool(jnp.array_equal(fused.inv(y_ref), plan_xla.inv(y_ref))):
-        import warnings
-        warnings.warn(f"fused NTT inv mismatch at n={plan_xla.n}; "
-                      "falling back to the XLA path for this plan")
-        return False
+
+    for v in vecs:
+        x = jnp.asarray(v)
+        y_ref = plan_xla.fwd(x)
+        try:
+            fwd_ok = bool(jnp.array_equal(fused.fwd(x), y_ref))
+            inv_ok = fwd_ok and bool(
+                jnp.array_equal(fused.inv(y_ref), plan_xla.inv(y_ref)))
+        except Exception as e:  # Mosaic compile failure (e.g. VMEM OOM at
+            # n=65536 with 5-weight-digit 31-bit tables) — a capacity
+            # boundary, not a correctness bug: fall back even under STRICT
+            import warnings
+            warnings.warn(f"fused NTT kernel failed to compile at "
+                          f"n={n}: {type(e).__name__}; using the XLA path")
+            return False
+        if not fwd_ok:
+            return fail("fwd")
+        if not inv_ok:
+            return fail("inv")
     return True
 
 
