@@ -26,10 +26,23 @@ def _wrap(v: jnp.ndarray, q: int) -> jnp.ndarray:
     return jnp.where(v >= q, v - jnp.uint32(q), v)
 
 
+def _set_flat(x_flat: jnp.ndarray, idx, value) -> jnp.ndarray:
+    """flat.at[idx].set(value) in one-hot form.
+
+    NOT a scatter: vmapped scatters with traced indices into a
+    trial-invariant operand silently DROP updates at batch >= ~1024 on
+    this TPU runtime (first seen as impossible miss rates in the
+    protected-evaluator campaign; see fhe/protected.py:_flip2).  The
+    one-hot where() lowers to elementwise ops only."""
+    onehot = jnp.arange(x_flat.shape[0]) == idx
+    return jnp.where(onehot, value, x_flat)
+
+
 def _scatter_xor_flat(x: jnp.ndarray, idx, mask, q: int) -> jnp.ndarray:
+    """XOR `mask` into flat element `idx`, wrapping into [0, q)."""
     flat = x.reshape(-1)
     v = _wrap(flat[idx] ^ mask, q)
-    return flat.at[idx].set(v).reshape(x.shape)
+    return _set_flat(flat, idx, v).reshape(x.shape)
 
 
 def inject_sbf(key, x: jnp.ndarray, q: int, bitwidth: int) -> jnp.ndarray:
@@ -71,8 +84,7 @@ def inject_mof1(key, x: jnp.ndarray, q: int) -> jnp.ndarray:
     k1, k2 = jax.random.split(key)
     idx = jax.random.randint(k1, (), 0, x.size)
     v = jax.random.randint(k2, (), 0, q, dtype=jnp.uint32)
-    flat = x.reshape(-1)
-    return flat.at[idx].set(v).reshape(x.shape)
+    return _set_flat(x.reshape(-1), idx, v).reshape(x.shape)
 
 
 def inject_cte(key, x: jnp.ndarray, q: int, bitwidth: int) -> jnp.ndarray:
@@ -100,7 +112,8 @@ def inject_cle_matrix(key, A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray,
     delta = arith.mul(mfac, delta)
     row = C[..., i, :]
     new_row = jnp.where(s, arith.add(row, delta), arith.sub(row, delta))
-    return C.at[..., i, :].set(new_row)
+    onehot = (jnp.arange(rows) == i)[:, None]          # see _set_flat note
+    return jnp.where(onehot, new_row[..., None, :], C)
 
 
 def inject_cle_vector(key, X: jnp.ndarray, T: jnp.ndarray, Y: jnp.ndarray,
@@ -120,7 +133,7 @@ def inject_cle_vector(key, X: jnp.ndarray, T: jnp.ndarray, Y: jnp.ndarray,
     hi, lo = _mod_u64(hi, lo, mod)
     hi2, lo2 = mul32_parts(lo, kv)
     _, r = _mod_u64(hi2, lo2, mod)
-    return Y.reshape(-1).at[idx].set(r).reshape(Y.shape)
+    return _set_flat(Y.reshape(-1), idx, r).reshape(Y.shape)
 
 
 def _mod_u64(hi: jnp.ndarray, lo: jnp.ndarray, m: int):
@@ -198,7 +211,7 @@ def inject_elements(kind_codes, key, x: jnp.ndarray, q: int,
     idxs = sample_distinct_indices(ki, len(kind_codes), flat.size)
     for j, kc in enumerate(kind_codes):
         v = inject_value(flat[idxs[j]], kc, kv[j], q, bits)
-        flat = flat.at[idxs[j]].set(v)
+        flat = _set_flat(flat, idxs[j], v)
     return flat.reshape(x.shape)
 
 

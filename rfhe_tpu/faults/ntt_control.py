@@ -144,7 +144,9 @@ def ntt_standard_lazy(
             delta = mult_deltas[f] if mult_deltas is not None else 0
             newv = inject_value(v_flat[lc], mult_kinds[f], keys[f], q, bits,
                                 delta=delta)
-            v_flat = jnp.where(in_stage, v_flat.at[lc].set(newv), v_flat)
+            # one-hot update, not a scatter (see faults/inject.py:_set_flat)
+            v_flat = jnp.where(in_stage & (jnp.arange(hops) == lc),
+                               newv, v_flat)
         bucket_out = add_mod(bucket_out, _fold_buckets(v_flat, B, q), q)
         bucket_ref = add_mod(bucket_ref, _fold_buckets(vt_flat, B, q), q)
         x = jnp.concatenate(

@@ -26,8 +26,11 @@ uses:
   MODDOWN    NttGuard on the special-limb INTT and the delta NTT + the
              centered-lift checksum (sum(delta_i) == S - q_sp*n_over mod q_i)
 
-Scope: the default CkksContext configuration (per-limb digits, one special
-prime — dnum=None), which is what bench.py and the perf suite run.
+Scope: every keyswitch configuration the plain evaluators run — per-limb
+or dnum-grouped digits, one or multiple special primes, CKKS (t=None) and
+BGV (t-aware mod-down).  The digit path is SHARED with the plain evaluator
+(fhe/keys.py:compute_digits with_ecc=True), so the protected and plain
+keyswitches cannot silently diverge.
 
 Returned flags are per-phase booleans; `all_ok(flags)` reduces them.  The
 flip campaign (faults/evaluator_campaign.py) injects single-bit faults into
@@ -47,7 +50,7 @@ from ..ops.modring import sum_mod
 from ..protect.checks import mont_mul_checked, sum_u64_exact
 from ..protect.ntt_guard import NttGuard
 from .ckks import Ciphertext, CkksContext
-from .keys import _basis_plan
+from .keys import _basis_plan, compute_digits
 from .rns import RnsPoly, _mont_qinv, _mont_r2, lift_to_limbs, limb_plan
 
 
@@ -65,9 +68,19 @@ class Fault:
 
 
 def _flip2(x: jnp.ndarray, limb, idx, bit) -> jnp.ndarray:
-    """XOR bit into element [limb, idx] of a (L, N) array."""
-    v = x[limb, idx] ^ (jnp.uint32(1) << jnp.asarray(bit, jnp.uint32))
-    return x.at[limb, idx].set(v)
+    """XOR bit into element [limb, idx] of a (L, N) array.
+
+    Formulated as a one-hot XOR mask, NOT a scatter: vmapped scatters with
+    traced indices into a trial-invariant operand have been observed to
+    silently DROP updates at batch >= ~1024 on this TPU runtime (diff
+    pattern: the faulted output equaled the clean one bit-for-bit — the
+    flip vanished, it did not cancel).  The mask form lowers to pure
+    elementwise ops and is immune; cost is one L*N compare per flip."""
+    onehot = (jnp.arange(x.shape[0])[:, None] == limb) \
+        & (jnp.arange(x.shape[1])[None, :] == idx)
+    mask = jnp.where(onehot, jnp.uint32(1) << jnp.asarray(bit, jnp.uint32),
+                     jnp.uint32(0))
+    return x ^ mask
 
 
 def all_ok(flags: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -86,11 +99,9 @@ class ProtectedCkks:
     the per-phase ok flags."""
 
     def __init__(self, ckks: CkksContext):
-        assert ckks.dnum is None and len(ckks.specials) == 1, (
-            "protected evaluator v1 covers the default config "
-            "(per-limb digits, one special prime)")
         self.ckks = ckks
         self.guard = NttGuard.make(ckks.ctx.plan)
+        self._ks_t = getattr(ckks, "_ks_t", None)    # None for CKKS
         self._jits: Dict = {}
 
     def _jit(self, name, fn):
@@ -103,45 +114,34 @@ class ProtectedCkks:
     # protected keyswitch core (per-limb digits, one special prime)
     # ------------------------------------------------------------------
     def _keyswitch_protected(self, d: jnp.ndarray, level: int,
-                             kb: jnp.ndarray, ka: jnp.ndarray,
+                             ksk_b: jnp.ndarray, ksk_a: jnp.ndarray,
                              flags: Dict, fault: Optional[Fault]):
-        ckks, ctx = self.ckks, self.ckks.ctx
-        L = ckks.L
-        sp = L                                  # special prime limb index
+        """Full protected hybrid keyswitch: digits (shared implementation,
+        fhe/keys.py:compute_digits with the appended-checksum ECC), guarded
+        NTT, checked dyadic MACs, checked tree-sum, guarded multi-special
+        mod-down.  Supports every (dnum, n_special, t) configuration the
+        plain fhe/keys.py:keyswitch does — same algebra, same tables."""
+        ctx = self.ckks.ctx
+        L = self.ckks.L
+        dnum = self.ckks.dnum
+        n_sp = len(ctx.moduli) - L
+        sp_idx = list(range(L, L + n_sp))
         active = level + 1
-        lim = list(range(active)) + [sp]
+        # BASECONV: the production digit path + exact-sum checksum refs
+        dig, used, lim, refs = compute_digits(d, level, ctx, L, dnum,
+                                              with_ecc=True)
+        if fault is not None and fault.stage == "digits":
+            dig = dig.at[0].set(_flip2(dig[0], fault.limb, fault.idx,
+                                       fault.bit))
         moduli = ctx.moduli
+        ecc = [sum_mod(dig[:, ii], moduli[i], axis=-1) == refs[:, ii]
+               for ii, i in enumerate(lim)]
+        flags["baseconv"] = jnp.stack(ecc)
+
         sub_plan = _basis_plan(ctx, lim)
         g_sub = self.guard.take(lim)
         q_lim = sub_plan.q_arr[:, None]
         qinv_lim = sub_plan.qinv_arr[:, None]
-
-        # BASECONV: per-limb digit extension dig[g, i] = d[g] mod q_i
-        # (fhe/keys.py:compute_digits single-limb path) + exact-sum ECC
-        zeros = jnp.zeros_like(d[0])
-        rows = []
-        for g in range(active):
-            ext = []
-            for i in lim:
-                if i == g or moduli[i] > moduli[g]:
-                    ext.append(d[g])
-                else:
-                    ext.append(u32.barrett_reduce64(
-                        zeros, d[g], moduli[i], ctx.barrett_mu[i],
-                        ctx.barrett_k[i]))
-            rows.append(jnp.stack(ext))
-        dig = jnp.stack(rows)                   # (active, n_lim, N)
-        if fault is not None and fault.stage == "digits":
-            dig = dig.at[0].set(_flip2(dig[0], fault.limb, fault.idx,
-                                       fault.bit))
-        s_hi, s_lo = sum_u64_exact(d)           # (active,) exact input sums
-        ecc = []
-        for ii, i in enumerate(lim):
-            ref = u32.barrett_reduce64(s_hi, s_lo, moduli[i],
-                                       ctx.barrett_mu[i], ctx.barrett_k[i])
-            got = sum_mod(dig[:, ii], moduli[i], axis=-1)
-            ecc.append(got == ref)
-        flags["baseconv"] = jnp.stack(ecc)
 
         # NTT of all digits (guarded)
         from ..ops.ntt_pease import negacyclic_ntt
@@ -152,6 +152,10 @@ class ProtectedCkks:
         flags["ntt"] = g_sub.check_fwd(dig, dig_ntt)
 
         # MULTEVK: dyadic MACs with the intra fold check
+        lim_idx = jnp.asarray(lim)
+        used_idx = jnp.asarray(used)
+        kb = ksk_b[used_idx][:, lim_idx]
+        ka = ksk_a[used_idx][:, lim_idx]
         t0, ok0 = mont_mul_checked(dig_ntt, kb, q_lim, qinv_lim)
         t1, ok1 = mont_mul_checked(dig_ntt, ka, q_lim, qinv_lim)
         if fault is not None and fault.stage == "prod0":
@@ -167,32 +171,57 @@ class ProtectedCkks:
         if fault is not None and fault.stage == "acc0":
             acc0 = _flip2(acc0, fault.limb, fault.idx, fault.bit)
 
-        # MODDOWN (one special prime, t=None), guarded drop_limb
-        keep = list(range(active))
-        acc0 = self._drop_limb_protected(acc0, sp, keep, flags, "md0")
-        acc1 = self._drop_limb_protected(acc1, sp, keep, flags, "md1")
+        # MODDOWN by each special prime (t-aware in BGV), guarded — both
+        # accumulators ride one batched call (mirrors fhe/keys.py:keyswitch:
+        # the special-limb INTT and delta NTT amortize over the batch)
+        acc = jnp.stack([acc0, acc1])
+        for k_i in range(n_sp - 1, -1, -1):
+            keep = list(range(active)) + sp_idx[:k_i]
+            acc = self._drop_limb_protected(acc, sp_idx[k_i], keep, flags,
+                                            f"md{k_i}" if k_i else "md",
+                                            t=self._ks_t)
         if fault is not None and fault.stage == "ks_out":
-            acc0 = _flip2(acc0, fault.limb, fault.idx, fault.bit)
-        return acc0, acc1
+            acc = acc.at[0].set(_flip2(acc[0], fault.limb, fault.idx,
+                                       fault.bit))
+        return acc[0], acc[1]
 
     def _drop_limb_protected(self, data: jnp.ndarray, src_k: int, keep,
-                             flags: Dict, tag: str) -> jnp.ndarray:
-        """rns.drop_limb (CKKS mode) with guarded transforms and the
-        centered-lift checksum."""
-        ckks, ctx = self.ckks, self.ckks.ctx
+                             flags: Dict, tag: str,
+                             t: Optional[int] = None) -> jnp.ndarray:
+        """rns.drop_limb with guarded transforms and the centered-lift
+        checksum.  data may carry leading batch dims (..., nk+1, N) — the
+        keyswitch stacks both accumulators.  t given = BGV mode: the lift
+        is δ = [c]_c − q_src·[[c]_c·q_src^{-1}]_t, and the checksum tracks
+        both exact sums (rns.drop_limb:215-258 is the unprotected twin)."""
+        ctx = self.ckks.ctx
         nk = len(keep)
         lp = limb_plan(ctx, src_k)
         g_src = self.guard.take([src_k])
         from ..ops.ntt_pease import negacyclic_intt, negacyclic_ntt
-        src_row = negacyclic_intt(data[nk:nk + 1], lp)
-        flags[f"{tag}_intt"] = g_src.check_inv(data[nk:nk + 1], src_row)
-        ck = src_row[0]
+        src_row = negacyclic_intt(data[..., nk:nk + 1, :], lp)
+        flags[f"{tag}_intt"] = g_src.check_inv(data[..., nk:nk + 1, :],
+                                               src_row)
+        ck = src_row[..., 0, :]
         q_src = ctx.moduli[src_k]
         delta = lift_to_limbs(ck, src_k, keep, ctx, centered=True)
-        # checksum: sum(delta_i) == (S - q_src*n_over) mod q_i, S exact
+        # checksum ref: sum(delta_i) == (S - q_src*n_over) mod q_i, S exact
         s_hi, s_lo = sum_u64_exact(ck)
-        n_over = jnp.sum((ck > (q_src // 2)).astype(jnp.uint32))
+        n_over = jnp.sum((ck > (q_src // 2)).astype(jnp.uint32), axis=-1)
+        if t is not None:
+            # BGV correction r = [ck_c * q_src^{-1}]_t (centered), applied
+            # per kept limb as delta -= q_src*r_c; checksum follows suit
+            from ..numth import barrett_constants, mod_inv
+            over = ck > (q_src // 2)
+            mu_t, k_t = barrett_constants(t)
+            inv_t = mod_inv(q_src, t)
+            hi, lo = u32.mul32_parts(ck, jnp.uint32(inv_t))
+            r = u32.barrett_reduce64(hi, lo, t, mu_t, k_t)
+            r = jnp.where(over, u32.sub_mod(r, jnp.uint32(1), t), r)
+            r_over = r > (t // 2)
+            sr_hi, sr_lo = sum_u64_exact(r)
+            n_r_over = jnp.sum(r_over.astype(jnp.uint32), axis=-1)
         oks = []
+        rows = []
         for ri, i in enumerate(keep):
             qi = ctx.moduli[i]
             ref = u32.barrett_reduce64(s_hi, s_lo, qi, ctx.barrett_mu[i],
@@ -203,14 +232,36 @@ class ProtectedCkks:
                                    ctx.barrett_mu[i], ctx.barrett_k[i]),
                                qi, _mont_qinv(qi), _mont_r2(qi))
             ref = u32.sub_mod(ref, corr, jnp.uint32(qi))
-            oks.append(sum_mod(delta[ri], qi, axis=-1) == ref)
+            d_i = delta[..., ri, :]
+            if t is not None:
+                r_c = jnp.where(r_over, u32.sub_mod(
+                    r, jnp.uint32(t % qi), qi), r)
+                qs_r = u32.mul_mod(jnp.uint32(q_src % qi), r_c, qi,
+                                   _mont_qinv(qi), _mont_r2(qi))
+                d_i = u32.sub_mod(d_i, qs_r, qi)
+                # ref -= q_src * (S_r - t*n_r_over) mod q_i
+                sr_red = u32.barrett_reduce64(sr_hi, sr_lo, qi,
+                                              ctx.barrett_mu[i],
+                                              ctx.barrett_k[i])
+                tn = u32.mul_mod(jnp.uint32(t % qi),
+                                 u32.barrett_reduce64(
+                                     jnp.zeros_like(n_r_over), n_r_over, qi,
+                                     ctx.barrett_mu[i], ctx.barrett_k[i]),
+                                 qi, _mont_qinv(qi), _mont_r2(qi))
+                s_rc = u32.sub_mod(sr_red, tn, jnp.uint32(qi))
+                ref = u32.sub_mod(ref, u32.mul_mod(
+                    jnp.uint32(q_src % qi), s_rc, qi, _mont_qinv(qi),
+                    _mont_r2(qi)), jnp.uint32(qi))
+            oks.append(sum_mod(d_i, qi, axis=-1) == ref)
+            rows.append(d_i)
+        delta = jnp.stack(rows, axis=-2)
         flags[f"{tag}_lift"] = jnp.stack(oks)
         keep_plan = ctx.plan.take(keep)
         delta_ntt = negacyclic_ntt(delta, keep_plan)
         flags[f"{tag}_ntt"] = self.guard.take(keep).check_fwd(delta, delta_ntt)
         keep_idx = np.asarray(keep)
         q_lo = ctx.plan.q_arr[keep_idx, None]
-        num = u32.sub_mod(data[:nk], delta_ntt, q_lo)
+        num = u32.sub_mod(data[..., :nk, :], delta_ntt, q_lo)
         out = u32.mul_mod_shoup(num, ctx.qk_inv[src_k][keep_idx, None],
                                 ctx.qk_inv_shoup[src_k][keep_idx, None], q_lo)
         flags[f"{tag}_range"] = jnp.all(out < q_lo)
@@ -240,17 +291,12 @@ class ProtectedCkks:
         if fault is not None and fault.stage == "intt_out":
             d = _flip2(d, fault.limb, fault.idx, fault.bit)
         flags["intt"] = self.guard.slice(active).check_inv(c1g, d)
-        sp = ckks.L
-        lim = list(range(active)) + [sp]
-        lim_idx = jnp.asarray(lim)
-        used_idx = jnp.asarray(list(range(active)))
-        kb = ksk.b[used_idx][:, lim_idx]
-        ka = ksk.a[used_idx][:, lim_idx]
-        k0, k1 = self._keyswitch_protected(d, level, kb, ka, flags, fault)
+        k0, k1 = self._keyswitch_protected(d, level, ksk.b, ksk.a, flags,
+                                           fault)
         qb = plan.q_arr[:, None]
         c0_out = u32.add_mod(c0g, k0, qb)
         return (Ciphertext([RnsPoly(c0_out, True), RnsPoly(k1, True)],
-                           ct.scale), flags)
+                           ct.scale, correction=ct.correction), flags)
 
     def apply_galois(self, ct: Ciphertext, g: int,
                      fault: Optional[Fault] = None
@@ -308,16 +354,13 @@ class ProtectedCkks:
             if f is not None and f.stage == "intt_out":
                 d2c = _flip2(d2c, f.limb, f.idx, f.bit)
             flags["intt"] = self.guard.slice(lvl + 1).check_inv(d2, d2c)
-            sp = ckks.L
-            lim_idx = jnp.asarray(list(range(lvl + 1)) + [sp])
-            used_idx = jnp.asarray(list(range(lvl + 1)))
-            k0, k1 = self._keyswitch_protected(
-                d2c, lvl, kb[used_idx][:, lim_idx], ka[used_idx][:, lim_idx],
-                flags, f)
+            k0, k1 = self._keyswitch_protected(d2c, lvl, kb, ka, flags, f)
             c0 = u32.add_mod(d0, k0, qb)
             c1 = u32.add_mod(d1, k1, qb)
+            corr = ((a.correction * b.correction) % self._ks_t
+                    if self._ks_t else 1)
             return (Ciphertext([RnsPoly(c0, True), RnsPoly(c1, True)],
-                               a.scale * b.scale), flags)
+                               a.scale * b.scale, correction=corr), flags)
 
         key = ("pmulrelin", lvl, fault.stage if fault else None)
         if fault is None:
@@ -328,6 +371,27 @@ class ProtectedCkks:
         return fn([c.data for c in a.c], [c.data for c in b.c],
                   rlk.b, rlk.a, jnp.asarray(fault.limb),
                   jnp.asarray(fault.idx), jnp.asarray(fault.bit))
+
+
+class ProtectedBgv(ProtectedCkks):
+    """Detector-instrumented BGV evaluator: the same protected keyswitch
+    with the t-aware mod-down (δ ≡ 0 mod t; rns.drop_limb BGV branch) and
+    decryption corrections tracked as in fhe/bgv.py.  rotate_rows and
+    multiply_relin mirror BgvContext's results bit-for-bit
+    (tests/test_protected.py)."""
+
+    def __init__(self, bgv):
+        # BgvContext exposes the same surface the protected core needs:
+        # .ctx, .L, .dnum, .galois_key, .rlk
+        self.ckks = bgv
+        self.guard = NttGuard.make(bgv.ctx.plan)
+        self._ks_t = bgv.t
+        self._jits: Dict = {}
+
+    def rotate_rows(self, ct: Ciphertext, r: int,
+                    fault: Optional[Fault] = None) -> Tuple[Ciphertext, Dict]:
+        n = self.ckks.params.n
+        return self.apply_galois(ct, pow(5, r % (n // 2), 2 * n), fault)
 
 
 def _tree_sum_checked(t: jnp.ndarray, qb: jnp.ndarray, flags: Dict,

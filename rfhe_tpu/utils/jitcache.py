@@ -39,6 +39,14 @@ class HoistedJit:
 
     def __call__(self, *args):
         flat, in_tree = tree_util.tree_flatten(args)
+        # Inside an active JAX trace (a caller's jit/vmap is tracing us),
+        # hoisting is both pointless (we are already being staged) and
+        # HARMFUL: make_jaxpr would capture values materialized under the
+        # outer trace (e.g. jnp.asarray of a host table) as "constants"
+        # that are really outer-trace tracers, poisoning the cache for
+        # every later call with the same signature.  Inline instead.
+        if any(isinstance(a, jax.core.Tracer) for a in flat):
+            return self._fn(*args)
         sig = (in_tree,) + tuple(
             (getattr(a, "shape", None), getattr(a, "dtype", None))
             for a in flat)
