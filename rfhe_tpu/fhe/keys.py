@@ -218,9 +218,19 @@ def _group_ext_consts(moduli: tuple, G: tuple, lim: tuple):
 
 
 def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
-                   n_ct_limbs: int, dnum: Optional[int] = None):
+                   n_ct_limbs: int, dnum: Optional[int] = None,
+                   with_ecc: bool = False):
     """Digit decomposition + base extension for the hybrid keyswitch: returns
-    (dig (n_used, n_lim, N) coeff-domain, used group indices, lim basis)."""
+    (dig (n_used, n_lim, N) coeff-domain, used group indices, lim basis).
+
+    with_ecc=True additionally returns refs (n_used, n_lim) uint32: the
+    appended-checksum references Σ_N dig[g, i] mod q_i predicted from exact
+    u64 sums of the INPUTS (the TPU rebuild of baseConv.py:42-98's
+    appended-sum element; linearity of the extension mod each target
+    modulus makes the column sum checkable from one exact input sum per
+    source limb).  The protected evaluator (fhe/protected.py) consumes
+    this — ONE digit implementation serves the plain and protected paths."""
+    from ..protect.checks import sum_u64_exact
     L = n_ct_limbs
     n_sp = len(ctx.moduli) - L
     if dnum is None:
@@ -232,6 +242,7 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
     moduli = ctx.moduli
     digits = []
     used = []
+    refs = []
     for gi, grp in enumerate(groups_full):
         G = [l for l in grp if l < active]
         if not G:
@@ -250,6 +261,12 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
                         zeros, v, moduli[i], ctx.barrett_mu[i],
                         ctx.barrett_k[i]))
             digits.append(jnp.stack(ext))
+            if with_ecc:
+                s_hi, s_lo = sum_u64_exact(v)
+                refs.append(jnp.stack([
+                    u32.barrett_reduce64(s_hi, s_lo, moduli[i],
+                                         ctx.barrett_mu[i], ctx.barrett_k[i])
+                    for i in lim]))
         else:
             # grouped digit [d]_{Q_G}: fast base extension
             tilde, tilde_s, W, W_s = _group_ext_consts(
@@ -259,7 +276,10 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
                                   moduli[l])
                 for li, l in enumerate(G)
             ]
+            if with_ecc:
+                rp_sums = [sum_u64_exact(r) for r in rprime]
             ext = []
+            ref_row = []
             for ii, i in enumerate(lim):
                 qi = moduli[i]
                 acc = None
@@ -274,8 +294,25 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
                                              int(W_s[li, ii]), qi)
                     acc = term if acc is None else u32.add_mod(acc, term, qi)
                 ext.append(acc)
+                if with_ecc:
+                    # Σ_N ext = Σ_l W[l,i]·(Σ_N r'_l) mod q_i (sums of
+                    # residues ≡ residue of the exact sum)
+                    racc = None
+                    for li, (s_hi, s_lo) in enumerate(rp_sums):
+                        s_red = u32.barrett_reduce64(
+                            s_hi, s_lo, qi, ctx.barrett_mu[i],
+                            ctx.barrett_k[i])
+                        t = u32.mul_mod_shoup(s_red, int(W[li, ii]),
+                                              int(W_s[li, ii]), qi)
+                        racc = t if racc is None else u32.add_mod(racc, t, qi)
+                    ref_row.append(racc)
             digits.append(jnp.stack(ext))
-    return jnp.stack(digits), used, lim
+            if with_ecc:
+                refs.append(jnp.stack(ref_row))
+    dig = jnp.stack(digits)
+    if with_ecc:
+        return dig, used, lim, jnp.stack(refs)
+    return dig, used, lim
 
 
 def keyswitch(d_coeff: jnp.ndarray, ksk: KeySwitchKey, level: int,
@@ -310,12 +347,15 @@ def keyswitch(d_coeff: jnp.ndarray, ksk: KeySwitchKey, level: int,
     t1 = u32.mont_mul(dig_ntt, ka, q, qinv)
     acc0 = _sum_digits(t0, q)
     acc1 = _sum_digits(t1, q)
-    # mod-down by the special primes, last to first (t-aware in BGV)
+    # mod-down by the special primes, last to first (t-aware in BGV); the
+    # two accumulators ride one batched drop_limb so the special-limb INTT
+    # and the delta NTT are single calls at batch 2 (not 2x batch 1 — the
+    # fused Pallas kernel's table streaming amortizes over the batch)
+    acc = jnp.stack([acc0, acc1])
     for k_i in range(n_sp - 1, -1, -1):
         keep = list(range(active)) + sp_idx[:k_i]
-        acc0 = drop_limb(acc0, sp_idx[k_i], keep, ctx, t)
-        acc1 = drop_limb(acc1, sp_idx[k_i], keep, ctx, t)
-    return acc0, acc1
+        acc = drop_limb(acc, sp_idx[k_i], keep, ctx, t)
+    return acc[0], acc[1]
 
 
 def _sum_digits(t: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

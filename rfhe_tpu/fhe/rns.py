@@ -195,9 +195,11 @@ def limb_plan(ctx: RnsContext, i: int) -> PeaseNttPlan:
 
 def lift_to_limbs(v: jnp.ndarray, src_k: int, dst,
                   ctx: RnsContext, centered: bool) -> jnp.ndarray:
-    """Lift coeff-domain values v ∈ [0, q_src)^... to residues mod each
-    q_i, i ∈ dst, optionally via the centered representative
-    [v] ∈ (-q_src/2, q_src/2].  Returns (len(dst), ...)."""
+    """Lift coeff-domain values v ∈ [0, q_src)^(..., N) to residues mod
+    each q_i, i ∈ dst, optionally via the centered representative
+    [v] ∈ (-q_src/2, q_src/2].  Returns (..., len(dst), N) — the limb axis
+    is inserted at -2 so leading batch dims stay leading (batched
+    mod-down stacks the two keyswitch accumulators)."""
     q_src = ctx.moduli[src_k]
     over = v > (q_src // 2) if centered else None
     zeros = jnp.zeros_like(v)
@@ -209,10 +211,10 @@ def lift_to_limbs(v: jnp.ndarray, src_k: int, dst,
         if centered:
             r = jnp.where(over, u32.sub_mod(r, ctx.qk_mod[src_k][i], qi), r)
         rows.append(r)
-    return jnp.stack(rows)
+    return jnp.stack(rows, axis=-2)
 
 
-def drop_limb(data: jnp.ndarray, src_k: int, n_keep, 
+def drop_limb(data: jnp.ndarray, src_k: int, n_keep,
               ctx: RnsContext, t: Optional[int] = None) -> jnp.ndarray:
     """Exact RNS divide-and-round: given NTT-domain limbs
     data = [rows for the kept moduli] + [row for modulus src_k],
@@ -222,6 +224,11 @@ def drop_limb(data: jnp.ndarray, src_k: int, n_keep,
     CKKS rescale, single-special mod-down) or an explicit list of modulus
     indices (generalized hybrid keyswitch with multiple special primes).
 
+    data may carry leading batch dims (..., nk+1, N): the keyswitch stacks
+    its two accumulators so the special-limb INTT and the delta NTT run as
+    ONE batched transform each instead of two half-size calls (the fused
+    Pallas kernel amortizes its per-call table streaming over the batch).
+
     CKKS / plain mode (t=None): δ = [data_src] (centered lift).
     BGV mode (t given): δ additionally satisfies δ ≡ 0 (mod t), i.e.
     δ = [c]_c − q_src·[[c]_c·q_src^{-1}]_t (both lifts centered), so the
@@ -230,8 +237,8 @@ def drop_limb(data: jnp.ndarray, src_k: int, n_keep,
     from ..numth import barrett_constants, mod_inv
     keep = list(range(n_keep)) if isinstance(n_keep, int) else list(n_keep)
     nk = len(keep)
-    src_row = negacyclic_intt(data[nk:nk + 1], limb_plan(ctx, src_k))
-    ck = src_row[0]                                   # (..., N) coeff domain
+    src_row = negacyclic_intt(data[..., nk:nk + 1, :], limb_plan(ctx, src_k))
+    ck = src_row[..., 0, :]                           # (..., N) coeff domain
     q_src = ctx.moduli[src_k]
     delta = lift_to_limbs(ck, src_k, keep, ctx, centered=True)
     if t is not None:
@@ -248,12 +255,12 @@ def drop_limb(data: jnp.ndarray, src_k: int, n_keep,
             r_c = jnp.where(r_over, u32.sub_mod(r, jnp.uint32(t % qi), qi), r)
             qs_r = u32.mul_mod(jnp.uint32(q_src % qi), r_c, qi,
                                _mont_qinv(qi), _mont_r2(qi))
-            rows.append(u32.sub_mod(delta[ri], qs_r, qi))
-        delta = jnp.stack(rows)
+            rows.append(u32.sub_mod(delta[..., ri, :], qs_r, qi))
+        delta = jnp.stack(rows, axis=-2)
     delta_ntt = negacyclic_ntt(delta, ctx.plan.take(keep))
     keep_idx = np.asarray(keep)
     q_lo = ctx.plan.q_arr[keep_idx, None]
-    num = u32.sub_mod(data[:nk], delta_ntt, q_lo)
+    num = u32.sub_mod(data[..., :nk, :], delta_ntt, q_lo)
     return u32.mul_mod_shoup(num, ctx.qk_inv[src_k][keep_idx, None],
                              ctx.qk_inv_shoup[src_k][keep_idx, None], q_lo)
 
