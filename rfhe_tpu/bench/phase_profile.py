@@ -186,8 +186,11 @@ def main(argv=None) -> None:
             "NTT", "ModMul", "BaseConv", "Others"]
     if args.cmd == "rotation":
         for n in [int(v) for v in args.ns.split(",")]:
-            limbs = min(args.limbs, max(3, n // 256))
-            params = CkksParams.make(n=n, levels=(limbs - 1) // 2)
+            # levels = limbs-1: CkksParams.make gives L = levels+1 ct limbs
+            # (the reference profiles 21 limbs at EVERY polydim,
+            # draw_rotation.py:10-20)
+            limbs = args.limbs
+            params = CkksParams.make(n=n, levels=limbs - 1)
             ckks = CkksContext(params)
             level = ckks.L - 1
             ph = _phase_times(ckks, level, r2=args.r2)
@@ -203,7 +206,7 @@ def main(argv=None) -> None:
             print(rows[-1], file=sys.stderr, flush=True)
     else:
         for dnum in [int(v) for v in args.dnums.split(",")]:
-            params = CkksParams.make(n=args.n, levels=(args.limbs - 1) // 2)
+            params = CkksParams.make(n=args.n, levels=args.limbs - 1)
             ckks = CkksContext(params, dnum=dnum)
             level = ckks.L - 1
             ph = _phase_times(ckks, level, r2=args.r2)

@@ -63,7 +63,10 @@ def measure(n: int, limbs: int, batch: int):
                     device_time(lambda a: ntt_pease.negacyclic_ntt(a, pp), x)))
 
     bfly = (n // 2) * (n.bit_length() - 1)
-    macs = n * (mp.n1 + mp.n2) * mp.s1.nd_x * mp.s1.nd_w
+    # per-stage MACs: stage 1 contracts n2 with s1's digit counts, stage 2
+    # contracts n1 with s2's (they choose digit widths independently)
+    macs = n * (mp.n2 * mp.s1.nd_x * mp.s1.nd_w
+                + mp.n1 * mp.s2.nd_x * mp.s2.nd_w)
     hbm = 2 * 4 * n
 
     for name, t in timings:

@@ -294,69 +294,26 @@ def sweep_dotprod(args) -> None:
 
 def sweep_dnum(args) -> None:
     """Rotation cost breakdown vs dnum (draw_dnum.py analog): fewer digits
-    means fewer NTTs but heavier base conversion."""
-    import numpy as np
-    from ..fhe import CkksContext, CkksParams
-    from ..trace import ProfiledRotation
-    f, w, path = _writer(args.out, f"dnum_N{args.N}.csv")
-    w.writerow(["dnum", "alpha", "total_us", "NTT", "ModMul", "BaseConv",
-                "Others"])
-    params = CkksParams.make(n=args.N, levels=args.levels, q0_bits=30,
-                             scale_bits=26)
-    L = params.L
-    for dnum in sorted({1, 2, 3, 4, 6, L} & set(range(1, L + 1))):
-        ckks = CkksContext(params, seed=args.seed, dnum=dnum)
-        rng = np.random.default_rng(0)
-        z = rng.uniform(-1, 1, args.N // 2) + 0j
-        ct = ckks.encrypt(*ckks.encode(z))
-        prof = ProfiledRotation(ckks)
-        prof.rotate(ct, 1)
-        best = None
-        for _ in range(args.reps):
-            prof.rotate(ct, 1)
-            bd = prof.breakdown()
-            if best is None or bd["total_us"] < best["total_us"]:
-                best = bd
-        alpha = -(-L // dnum)
-        w.writerow([dnum, alpha, f"{best['total_us']:.1f}",
-                    f"{best['NTT']:.4f}", f"{best['ModMul']:.4f}",
-                    f"{best['BaseConv']:.4f}", f"{best['Others']:.4f}"])
-        print(f"[dnum] dnum={dnum} alpha={alpha}: {best['total_us']:.0f}us",
-              flush=True)
-    f.close()
-    print("wrote", path)
+    means fewer NTTs but heavier base conversion.  Delegates to the
+    device-true slope-method profiler (bench/phase_profile); the old
+    ProfiledRotation host timings paid the ~2.5 ms dispatch floor per phase
+    and produced N-independent totals (round-3 verdict weak #5)."""
+    from . import phase_profile
+    out = os.path.join(args.out, f"dnum_N{args.N}.csv")
+    phase_profile.main([
+        "dnum", "--n", str(args.N), "--limbs", str(args.levels + 1),
+        "--csv", out])
 
 
 def sweep_rotation(args) -> None:
-    import numpy as np
-    from ..fhe import CkksContext, CkksParams
-    from ..trace import ProfiledRotation, TraceCollector
-    f, w, path = _writer(args.out, "rotation_profile.csv")
-    w.writerow(["n", "levels", "total_us", "NTT", "ModMul", "BaseConv",
-                "Others"])
-    for logn in range(args.logn_min, args.logn_max + 1):
-        n = 1 << logn
-        ckks = CkksContext(CkksParams.make(
-            n=n, levels=args.levels, q0_bits=30, scale_bits=26),
-            seed=args.seed)
-        rng = np.random.default_rng(0)
-        z = rng.uniform(-1, 1, n // 2) + 0j
-        ct = ckks.encrypt(*ckks.encode(z))
-        prof = ProfiledRotation(ckks)
-        prof.rotate(ct, 1)                      # compile
-        best = None
-        for _ in range(args.reps):
-            prof.rotate(ct, 1)
-            bd = prof.breakdown()
-            if best is None or bd["total_us"] < best["total_us"]:
-                best = bd
-        w.writerow([n, args.levels, f"{best['total_us']:.1f}",
-                    f"{best['NTT']:.4f}", f"{best['ModMul']:.4f}",
-                    f"{best['BaseConv']:.4f}", f"{best['Others']:.4f}"])
-        print(f"[rotation] n={n}: {best['total_us']:.0f}us "
-              f"NTT={best['NTT']:.2f}", flush=True)
-    f.close()
-    print("wrote", path)
+    """Rotation phase breakdown vs polydim (draw_rotation.py analog),
+    measured with the device-true slope method (see sweep_dnum note)."""
+    from . import phase_profile
+    ns = ",".join(str(1 << g) for g in range(args.logn_min, args.logn_max + 1))
+    out = os.path.join(args.out, "rotation_profile.csv")
+    phase_profile.main([
+        "rotation", "--ns", ns, "--limbs", str(args.levels + 1),
+        "--csv", out])
 
 
 def sweep_composition(args) -> None:

@@ -202,47 +202,17 @@ def intt(x: jnp.ndarray, plan: PeaseNttPlan) -> jnp.ndarray:
     return jax.lax.fori_loop(0, log_n, body, x)
 
 
-# Fused Pallas NTT dispatch is opt-in (RFHE_TPU_PALLAS_NTT=1): the Mosaic
-# compile of ops/pallas_ntt.py has been observed to hang on some TPU
-# runtimes (PARITY.md "Known gaps"); the default production path is the XLA
-# Pease pipeline below.
-_PALLAS_ENABLED = _os.environ.get("RFHE_TPU_PALLAS_NTT", "0") == "1"
-
-
-def _pallas_plan_for(plan: "PeaseNttPlan"):
-    """Fused-kernel plan for the same (n, primes); None when the Pallas path
-    doesn't apply (non-TPU backend, tiny n, or not enabled via env)."""
-    if not _PALLAS_ENABLED or plan.n < 256:
-        return None
-    if jax.default_backend() != "tpu":
-        return None
-    primes = tuple(int(q) for q in np.asarray(plan.q_arr))
-    return _pallas_plan_cached(plan.n, primes)
-
-
-@lru_cache(maxsize=64)
-def _pallas_plan_cached(n: int, primes: tuple):
-    from . import pallas_ntt
-    return pallas_ntt.PallasNttPlan.make(n, primes)
-
-
 def negacyclic_ntt(x: jnp.ndarray, plan) -> jnp.ndarray:
     """ψ-premultiply (entering the Montgomery domain) + forward pipeline.
 
     Accepts any plan implementing the stacked-limb NTT protocol: an
     MxuNttPlan (four-step matmul form on the MXU — the production TPU path,
-    ops/ntt_mxu.py) dispatches to its own fwd; a PeaseNttPlan runs the XLA
-    constant-geometry pipeline below (optionally the fused Pallas kernel
-    when RFHE_TPU_PALLAS_NTT=1)."""
+    ops/ntt_mxu.py, fused Pallas kernel by default on TPU) dispatches to
+    its own fwd; a PeaseNttPlan runs the XLA constant-geometry pipeline
+    below."""
     fwd = getattr(plan, "fwd", None)
     if fwd is not None:
         return fwd(x)
-    pp = _pallas_plan_for(plan)
-    if pp is not None:
-        from . import pallas_ntt
-        x3 = x[None] if x.ndim == 2 else x
-        y = pallas_ntt.negacyclic_ntt(x3, pp)
-        return y[0] if x.ndim == 2 else y
     xm = mul_mod_shoup(x, plan.psi_mont, plan.psi_mont_shoup, plan.qb(1))
     return ntt(xm, plan)
 
@@ -252,12 +222,6 @@ def negacyclic_intt(x: jnp.ndarray, plan) -> jnp.ndarray:
     inv = getattr(plan, "inv", None)
     if inv is not None:
         return inv(x)
-    pp = _pallas_plan_for(plan)
-    if pp is not None:
-        from . import pallas_ntt
-        x3 = x[None] if x.ndim == 2 else x
-        y = pallas_ntt.negacyclic_intt(x3, pp)
-        return y[0] if x.ndim == 2 else y
     y = intt(x, plan)
     return mont_mul(y, plan.psi_inv_n, plan.qb(1), plan.qinvb(1))
 
