@@ -193,8 +193,13 @@ def main(argv=None) -> None:
             params = CkksParams.make(n=n, levels=limbs - 1)
             ckks = CkksContext(params)
             level = ckks.L - 1
-            ph = _phase_times(ckks, level, r2=args.r2)
-            tot = rotation_total(ckks, level, r2=args.r2)
+            # scale reps to the phase cost: at small n each phase is tens
+            # of us, so the r2=32 slope drowns in host noise (observed as
+            # MULTEVK 0.0 at n=2048); keep r2 * phase_cost ~ 30+ ms
+            r2 = max(args.r2, (1 << 21) // n)
+            r1 = max(4, r2 // 8)
+            ph = _phase_times(ckks, level, r1=r1, r2=r2)
+            tot = rotation_total(ckks, level, r1=r1, r2=r2)
             sh = _shares(ph)
             rows.append({
                 "n": n, "limbs": ckks.L, "dnum": "",
@@ -209,8 +214,10 @@ def main(argv=None) -> None:
             params = CkksParams.make(n=args.n, levels=args.limbs - 1)
             ckks = CkksContext(params, dnum=dnum)
             level = ckks.L - 1
-            ph = _phase_times(ckks, level, r2=args.r2)
-            tot = rotation_total(ckks, level, r2=args.r2)
+            r2 = max(args.r2, (1 << 21) // args.n)
+            r1 = max(4, r2 // 8)
+            ph = _phase_times(ckks, level, r1=r1, r2=r2)
+            tot = rotation_total(ckks, level, r1=r1, r2=r2)
             sh = _shares(ph)
             rows.append({
                 "n": args.n, "limbs": ckks.L, "dnum": dnum,
