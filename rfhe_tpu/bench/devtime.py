@@ -22,9 +22,14 @@ import jax
 def reptime(body: Callable, x, rep: int, iters: int = 8) -> float:
     """Seconds per call of a jit program applying `body` rep times.
     body must be shape-preserving (output pytree == input pytree shape)."""
-    @jax.jit
-    def f(v):
-        return jax.lax.fori_loop(0, rep, lambda i, a: body(a), v)
+    from ..utils.jitcache import hoisted_jit
+
+    # hoisted_jit: bodies close over plan tables (digitized NTT matrices,
+    # folded twiddles) that plain jax.jit would inline as literals — at
+    # n=32768/21 limbs the lowered module exceeds the remote-compile
+    # tunnel's size limit (HTTP 413)
+    f = hoisted_jit(
+        lambda v: jax.lax.fori_loop(0, rep, lambda i, a: body(a), v))
 
     y = f(x)
     jax.block_until_ready(y)

@@ -195,8 +195,8 @@ def main(argv=None) -> None:
             level = ckks.L - 1
             # scale reps to the phase cost: at small n each phase is tens
             # of us, so the r2=32 slope drowns in host noise (observed as
-            # MULTEVK 0.0 at n=2048); keep r2 * phase_cost ~ 30+ ms
-            r2 = max(args.r2, (1 << 21) // n)
+            # MULTEVK 0.0 at n=2048); keep r2 * phase_cost ~ 10+ ms
+            r2 = max(args.r2, min(256, (1 << 21) // n))
             r1 = max(4, r2 // 8)
             ph = _phase_times(ckks, level, r1=r1, r2=r2)
             tot = rotation_total(ckks, level, r1=r1, r2=r2)
@@ -214,7 +214,7 @@ def main(argv=None) -> None:
             params = CkksParams.make(n=args.n, levels=args.limbs - 1)
             ckks = CkksContext(params, dnum=dnum)
             level = ckks.L - 1
-            r2 = max(args.r2, (1 << 21) // args.n)
+            r2 = max(args.r2, min(256, (1 << 21) // args.n))
             r1 = max(4, r2 // 8)
             ph = _phase_times(ckks, level, r1=r1, r2=r2)
             tot = rotation_total(ckks, level, r1=r1, r2=r2)

@@ -245,7 +245,7 @@ def fig_dnum(args):
     keyswitch digit groups), from our measured sweep
     (profile_framewk/draw_dnum.py + draw_dnum_rot_mul.py analog).  Two
     stacked panels share the x axis — never a dual-axis chart."""
-    rows = _read(args.data or "results/dnum_N2048.csv")
+    rows = _read(args.data or "results/dnum_N4096.csv")
     dnums = [r["dnum"] for r in rows]
     total = np.array([float(r["total_us"]) for r in rows])
     cats = ["NTT", "ModMul", "BaseConv", "Others"]
