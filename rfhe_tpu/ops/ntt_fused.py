@@ -47,13 +47,14 @@ import numpy as np
 
 __all__ = ["FusedNtt"]
 
-# per-program VMEM budget (v5e has ~16 MB/core; leave room for
-# double-buffered table blocks).  Device-measured sweep (v5e, 2026-08):
+# per-program VMEM total (v5e has 16 MB/core; _block_bb subtracts the
+# double-buffered per-limb table blocks, which grow with n, before sizing
+# the poly block).  Device-measured sweep (v5e, 2026-08):
 #   n=4096/L21:  bb=8 36.7% -> bb=24 42.7% of int8 peak (bb=32 regresses)
 #   n=16384/L6:  bb=8 57.1%
 #   n=65536/L6:  bb=1 57.7% (bb=2 44.8%: more grid steps pipeline the
 #                table streaming better once a single poly fills VMEM)
-_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_TOTAL = 14 * 1024 * 1024
 _MAX_BB = 24         # kernel unrolls the poly loop; cap the unroll factor
 
 
@@ -330,11 +331,19 @@ def _block_bb(ft: FusedNtt, B: int) -> int:
     """Largest poly-block size that fits the VMEM budget (and divides B if
     possible; otherwise the wrapper pads)."""
     n = ft.n
+    L = ft.L
     # per-poly VMEM (measured shape accounting at n=65536): x + out + Bm
     # (u32) + stage int32 accumulators (2 * nd_w * n * 4) + int8 digit
     # operands (~2 * nd_x * n); ~42 bytes/coefficient total
     per_b = n * 42
-    cap = max(1, min(_MAX_BB, _VMEM_BUDGET // per_b))
+    # the streamed per-limb table blocks (both weight matrices + the three
+    # twiddle tables, double-buffered) come out of the same 16 MB and grow
+    # with n — ignoring them OOMed the n=32768 21-limb keyswitch by 212 KB
+    per_limb_tab = max(
+        ft.W1.nbytes + ft.W2.nbytes + 3 * ft.Vf.nbytes,
+        ft.W1i.nbytes + ft.W2i.nbytes + 3 * ft.Vi.nbytes) // max(1, L)
+    budget = max(per_b, _VMEM_TOTAL - 2 * per_limb_tab)
+    cap = max(1, min(_MAX_BB, budget // per_b))
     if n >= 65536:
         cap = 1          # measured: bb=1 beats bb=2 by 1.3x at n=65536
 
