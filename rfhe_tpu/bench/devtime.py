@@ -19,9 +19,16 @@ from typing import Callable
 import jax
 
 
-def reptime(body: Callable, x, rep: int, iters: int = 8) -> float:
+def reptime(body: Callable, x, rep: int, iters: int = 8,
+            group: int = 4) -> float:
     """Seconds per call of a jit program applying `body` rep times.
-    body must be shape-preserving (output pytree == input pytree shape)."""
+    body must be shape-preserving (output pytree == input pytree shape).
+
+    Takes the MIN over `iters` timing groups of `group` chained async calls
+    each: chaining amortizes the tunnel dispatch latency across the group,
+    and the min discards tunnel hiccups (noise here is strictly additive —
+    a mean lets one multi-ms stall poison the slope, observed as plain-atom
+    slopes collapsing to 0 under host load)."""
     from ..utils.jitcache import hoisted_jit
 
     # hoisted_jit: bodies close over plan tables (digitized NTT matrices,
@@ -33,11 +40,14 @@ def reptime(body: Callable, x, rep: int, iters: int = 8) -> float:
 
     y = f(x)
     jax.block_until_ready(y)
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(iters):
-        y = f(y)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        for _ in range(group):
+            y = f(y)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / group)
+    return best
 
 
 def device_time(body: Callable, x, r1: int = 16, r2: int = 128,

@@ -57,8 +57,11 @@ def measure(n: int, levels: int, batch: int = 8):
         ok = guard.check_fwd(v, y)
         return y + ok[..., None].astype(jnp.uint32)
 
-    t_p = device_time(ntt_plain, x)
-    t_g = device_time(ntt_prot, x)
+    # atom bodies are ~3-40 us: at small rep counts the chained-dispatch
+    # host floor (~2-3 ms/call) exceeds body^r device time and the slope
+    # collapses to 0 — reps must push the r2 program well past the floor
+    t_p = device_time(ntt_plain, x, r1=128, r2=1024)
+    t_g = device_time(ntt_prot, x, r1=128, r2=1024)
     rows.append({"atom": "NTT(guarded)", "plain_us": t_p * 1e6,
                  "prot_us": t_g * 1e6, "overhead": t_g / t_p})
 
@@ -75,8 +78,8 @@ def measure(n: int, levels: int, batch: int = 8):
         out, ok = mont_mul_checked(v, w, qb, qinvb)
         return out + ok.astype(jnp.uint32)
 
-    t_p = device_time(mm_plain, x)
-    t_g = device_time(mm_prot, x)
+    t_p = device_time(mm_plain, x, r1=128, r2=2048)
+    t_g = device_time(mm_prot, x, r1=128, r2=2048)
     rows.append({"atom": "ModMul(fold)", "plain_us": t_p * 1e6,
                  "prot_us": t_g * 1e6, "overhead": t_g / t_p})
 
@@ -94,17 +97,21 @@ def measure(n: int, levels: int, batch: int = 8):
     def mk(c):
         return Ciphertext([RnsPoly(c[0], True), RnsPoly(c[1], True)], 1.0)
 
+    ks_probe = prot._ks_probe(ksk, lvl, salt=g)       # built outside traces
+    perm_probe = prot._perm_probe(g, lvl + 1)
+
     def rot_plain(c):
         out = ckks._apply_galois_impl(mk(c), ksk, g)
         return jnp.stack([out.c[0].data, out.c[1].data])
 
     def rot_prot(c):
-        out, flags = prot._galois_impl(mk(c), ksk, g, lvl, None)
+        out, flags = prot._galois_impl(mk(c), ksk, g, lvl, None,
+                                       ks_probe, perm_probe)
         o = all_ok(flags).astype(jnp.uint32)
         return jnp.stack([out.c[0].data + o, out.c[1].data])
 
-    t_p = device_time(rot_plain, c01, r1=4, r2=16)
-    t_g = device_time(rot_prot, c01, r1=4, r2=16)
+    t_p = device_time(rot_plain, c01, r1=8, r2=64)
+    t_g = device_time(rot_prot, c01, r1=8, r2=64)
     rows.append({"atom": "Rotation(e2e)", "plain_us": t_p * 1e6,
                  "prot_us": t_g * 1e6, "overhead": t_g / t_p})
 
@@ -113,38 +120,17 @@ def measure(n: int, levels: int, batch: int = 8):
         out = ckks._relinearize_impl(ckks._multiply_impl(ct, ct), rlk)
         return jnp.stack([out.c[0].data, out.c[1].data])
 
-    # protected multiply rebuilt inline (same math as
-    # ProtectedCkks.multiply_relin) so the slope body is shape-preserving:
-    def mul_prot(c):
-        ct = mk(c)  # noqa: F841 — parallels mul_plain; products use c directly
-        from ..protect.checks import mont_mul_checked as mmc
-        plan_l = ckks.ctx.plan.slice(lvl + 1)
-        qb_l = plan_l.q_arr[:, None]
-        qinvb_l = plan_l.qinv_arr[:, None]
-        flags = {}
-        prods = []
-        for (u, v) in ((c[0], c[0]), (c[0], c[1]), (c[1], c[0]),
-                       (c[1], c[1])):
-            p, ok = mmc(u, v, qb_l, qinvb_l)
-            prods.append(p)
-            flags[f"d{len(prods)}"] = jnp.all(ok)
-        d0, d2 = prods[0], prods[3]
-        d1 = u32.add_mod(prods[1], prods[2], qb_l)
-        from ..ops.ntt_pease import negacyclic_intt
-        d2c = negacyclic_intt(d2, plan_l)
-        flags["intt"] = prot.guard.slice(lvl + 1).check_inv(d2, d2c)
-        sp = ckks.L
-        lim_idx = jnp.asarray(list(range(lvl + 1)) + [sp])
-        used_idx = jnp.asarray(list(range(lvl + 1)))
-        k0, k1 = prot._keyswitch_protected(
-            d2c, lvl, rlk.b[used_idx][:, lim_idx],
-            rlk.a[used_idx][:, lim_idx], flags, None)
-        o = all_ok(flags).astype(jnp.uint32)
-        return jnp.stack([u32.add_mod(d0, k0, qb_l) + o,
-                          u32.add_mod(d1, k1, qb_l)])
+    rlk_probe = prot._ks_probe(rlk, lvl, salt=-1)
 
-    t_p = device_time(mul_plain, c01, r1=4, r2=16)
-    t_g = device_time(mul_prot, c01, r1=4, r2=16)
+    def mul_prot(c):
+        out, flags = prot._mul_relin_impl(
+            [c[0], c[1]], [c[0], c[1]], rlk.b, rlk.a, rlk_probe, lvl,
+            1.0, 1, None)
+        o = all_ok(flags).astype(jnp.uint32)
+        return jnp.stack([out.c[0].data + o, out.c[1].data])
+
+    t_p = device_time(mul_plain, c01, r1=8, r2=64)
+    t_g = device_time(mul_prot, c01, r1=8, r2=64)
     rows.append({"atom": "HMul+Relin(e2e)", "plain_us": t_p * 1e6,
                  "prot_us": t_g * 1e6, "overhead": t_g / t_p})
     return rows

@@ -6,10 +6,14 @@ For each keyswitch stage, inject single-bit flips at random (limb, coeff,
 bit) into that intermediate of a protected rotation or multiply_relin
 (fhe/protected.py) and record whether (a) the output ciphertext actually
 changed (flips can land on dead values), (b) a detector fired, and (c)
-which one.  Compute-stage flips (intt_out / digits / digits_ntt) must be
-detected; post-check storage flips (prod0 / acc0 / ks_out) are the
-documented miss window the detectors do not claim (the same
-compute-vs-storage split the LazyChecker control campaign measures,
+which one.
+
+Coverage claim (round-5 protected evaluator): the KS-CORE projection spans
+digits → NTT → ⊙ksk → Σ_digits end-to-end, so the prod0/acc0 storage flips
+that rounds 2-4 documented as miss windows now sit INSIDE a checked span
+and must be detected.  The only remaining designed miss is ks_out — a flip
+into the final keyswitch output, after the last detector read (the same
+compute-vs-storage boundary the LazyChecker control campaign measures,
 faults/ntt_control.py and the reference's
 rfhe_framewk/src/ntt_test/non_four_step_ntt_sim.cpp:135-158).
 
@@ -18,14 +22,10 @@ claimed 100% detection on the designed-miss stages — a stuck-detector
 signature that went unnoticed).  Built-in asserts:
 
   * clean sanity: a fault-free protected op must report every flag ok;
-  * compute stages: every output-changing flip must be detected (miss 0);
-  * storage stages prod0/acc0: algebraic detectors must NOT fire (they run
-    before the flip or on self-consistent post-flip data).  The only
-    legitimate firings are the mod-down RANGE windows — a high-bit flip can
-    push a residue out of [0, q), which the Barrett-style range check
-    catches (the reference's barrett_inner.py:53-95 detector class);
-    anything else firing means a stuck detector;
-  * ks_out flips happen after the last check: detected must be exactly 0.
+  * covered stages (all but ks_out): every output-changing flip must be
+    detected (miss 0);
+  * ks_out flips happen after the last check: detected must be exactly 0 —
+    a firing here means a stuck detector (the round-3 bogus-CSV signature).
 
 All trials for one stage run in ONE vmapped jit program — fault coordinates
 are traced scalars, so there is exactly one compile per stage.
@@ -42,8 +42,8 @@ import sys
 from typing import Dict
 
 STAGES = ("intt_out", "digits", "digits_ntt", "prod0", "acc0", "ks_out")
-COMPUTE_STAGES = ("intt_out", "digits", "digits_ntt")
-MISS_STAGES = ("prod0", "acc0", "ks_out")
+COMPUTE_STAGES = ("intt_out", "digits", "digits_ntt", "prod0", "acc0")
+MISS_STAGES = ("ks_out",)
 
 
 def _clean_and_runner(prot, ct, op: str, r: int):
@@ -116,7 +116,7 @@ def check_row(row: Dict) -> None:
         f"output at {row['op']}/{stage} — injections are being dropped")
     if stage in COMPUTE_STAGES:
         assert row["missed"] == 0, (
-            f"compute stage {stage} missed {row['missed']} changing flips "
+            f"covered stage {stage} missed {row['missed']} changing flips "
             f"({row['op']}) — a detector is broken")
         assert row["detected"] >= row["changed"], row
     elif stage == "ks_out":
@@ -124,23 +124,6 @@ def check_row(row: Dict) -> None:
             f"ks_out flips happen after the last check, yet {row['detected']} "
             f"detections fired ({row['op']}) — a detector is stuck firing "
             "(the round-3 bogus-CSV signature)")
-    elif stage in MISS_STAGES:
-        fired = [d for d in row.get("detectors", "").split("+") if d]
-        # Out-of-[0,q) excursions are legitimately caught by (a) the
-        # mod-down range windows and (b) the duplicated tree-sum, whose
-        # forward-vs-reversed add_mod order is value-sensitive once an
-        # input exceeds q.  The ALGEBRAIC transform detectors
-        # (ntt/intt/baseconv/multevk/lift) run before the flip or on
-        # self-consistent data and must never fire.
-        bad = [d for d in fired
-               if not (d.endswith("_range") or d in ("sum0", "sum1"))]
-        assert not bad, (
-            f"storage stage {stage} tripped algebraic detectors {bad} "
-            f"({row['op']}) — they cannot legitimately fire on a "
-            "post-check storage flip")
-        # range windows only catch out-of-[0,q) excursions — most in-range
-        # flips must be missed, or the miss-window claim is wrong
-        assert row["missed"] > row["detected"], row
 
 
 def run(n: int = 1024, levels: int = 3, trials: int = 4096, seed: int = 0,

@@ -230,6 +230,7 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
     modulus makes the column sum checkable from one exact input sum per
     source limb).  The protected evaluator (fhe/protected.py) consumes
     this — ONE digit implementation serves the plain and protected paths."""
+    from ..ops.modring import sum_mod
     from ..protect.checks import sum_u64_exact
     L = n_ct_limbs
     n_sp = len(ctx.moduli) - L
@@ -242,7 +243,8 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
     moduli = ctx.moduli
     digits = []
     used = []
-    refs = []
+    ecc_singles = []        # (digit_idx, input row)
+    ecc_groups = []         # (digit_idx, stacked r', W, W_s)
     for gi, grp in enumerate(groups_full):
         G = [l for l in grp if l < active]
         if not G:
@@ -262,11 +264,7 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
                         ctx.barrett_k[i]))
             digits.append(jnp.stack(ext))
             if with_ecc:
-                s_hi, s_lo = sum_u64_exact(v)
-                refs.append(jnp.stack([
-                    u32.barrett_reduce64(s_hi, s_lo, moduli[i],
-                                         ctx.barrett_mu[i], ctx.barrett_k[i])
-                    for i in lim]))
+                ecc_singles.append((len(digits) - 1, v))
         else:
             # grouped digit [d]_{Q_G}: fast base extension
             tilde, tilde_s, W, W_s = _group_ext_consts(
@@ -276,10 +274,7 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
                                   moduli[l])
                 for li, l in enumerate(G)
             ]
-            if with_ecc:
-                rp_sums = [sum_u64_exact(r) for r in rprime]
             ext = []
-            ref_row = []
             for ii, i in enumerate(lim):
                 qi = moduli[i]
                 acc = None
@@ -294,24 +289,41 @@ def compute_digits(d_coeff: jnp.ndarray, level: int, ctx: RnsContext,
                                              int(W_s[li, ii]), qi)
                     acc = term if acc is None else u32.add_mod(acc, term, qi)
                 ext.append(acc)
-                if with_ecc:
-                    # Σ_N ext = Σ_l W[l,i]·(Σ_N r'_l) mod q_i (sums of
-                    # residues ≡ residue of the exact sum)
-                    racc = None
-                    for li, (s_hi, s_lo) in enumerate(rp_sums):
-                        s_red = u32.barrett_reduce64(
-                            s_hi, s_lo, qi, ctx.barrett_mu[i],
-                            ctx.barrett_k[i])
-                        t = u32.mul_mod_shoup(s_red, int(W[li, ii]),
-                                              int(W_s[li, ii]), qi)
-                        racc = t if racc is None else u32.add_mod(racc, t, qi)
-                    ref_row.append(racc)
             digits.append(jnp.stack(ext))
             if with_ecc:
-                refs.append(jnp.stack(ref_row))
+                ecc_groups.append((len(digits) - 1, jnp.stack(rprime),
+                                   W, W_s))
     dig = jnp.stack(digits)
     if with_ecc:
-        return dig, used, lim, jnp.stack(refs)
+        # Checksum references, VECTORIZED across digits (round-5 ablation:
+        # the per-digit scalar-Barrett loops here cost more than every
+        # projection check combined).  Single-limb digits: one exact sum
+        # over the stacked inputs, one vector Barrett per target modulus.
+        # Grouped digits: Σ_N ext = Σ_l W[l,i]·(Σ_N r'_l) mod q_i — the
+        # exact sums of r' reduce per modulus as an (α,)-vector.
+        ref_rows: list = [None] * len(digits)
+        if ecc_singles:
+            sv = jnp.stack([v for _, v in ecc_singles])
+            s_hi, s_lo = sum_u64_exact(sv)                       # (ns,)
+            mat = jnp.stack([
+                u32.barrett_reduce64(s_hi, s_lo, moduli[i],
+                                     ctx.barrett_mu[i], ctx.barrett_k[i])
+                for i in lim], axis=-1)                          # (ns, n_lim)
+            for row, (di, _) in enumerate(ecc_singles):
+                ref_rows[di] = mat[row]
+        for di, rp, W, W_s in ecc_groups:
+            r_hi, r_lo = sum_u64_exact(rp)                       # (α,)
+            cols = []
+            for ii, i in enumerate(lim):
+                qi = moduli[i]
+                s_red = u32.barrett_reduce64(r_hi, r_lo, qi,
+                                             ctx.barrett_mu[i],
+                                             ctx.barrett_k[i])
+                terms = u32.mul_mod_shoup(s_red, jnp.asarray(W[:, ii]),
+                                          jnp.asarray(W_s[:, ii]), qi)
+                cols.append(sum_mod(terms, qi, axis=-1))
+            ref_rows[di] = jnp.stack(cols)
+        return dig, used, lim, jnp.stack(ref_rows)
     return dig, used, lim
 
 

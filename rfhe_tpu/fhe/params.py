@@ -9,7 +9,7 @@ secrets); the framework's subject is reliability, not certified security.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from ..numth import find_ntt_primes
 
@@ -40,7 +40,8 @@ class CkksParams:
     alpha: int = 1                   # primes dropped per rescale
 
     @classmethod
-    def make(cls, n: int = 4096, levels: int = 3, q0_bits: int = 31,
+    def make(cls, n: int = 4096, levels: int = 3,
+             q0_bits: Optional[int] = None,
              scale_bits: int = 28) -> "CkksParams":
         """scale_bits <= 30: one prime per level (u32-native).
 
@@ -53,6 +54,15 @@ class CkksParams:
         reference gets from CUDA's 64-bit ALUs is replaced by one extra RNS
         limb per level.  The base q0 becomes a 31+30-bit pair for the same
         reason (the final message m·scale must survive under it)."""
+        if q0_bits is None:
+            # default 31-bit base, EXCEPT at n=65536 where a 31-bit prime
+            # needs 5 weight digits and exceeds the fused Pallas kernel's
+            # VMEM budget, falling back to the XLA composition (~2.4x
+            # slower — the capacity boundary in PARITY.md and
+            # results/fused_validate_grid.csv).  30-bit keeps the default
+            # chain on the production fused path; callers that need the
+            # extra bit pass q0_bits=31 explicitly.
+            q0_bits = 30 if n >= 65536 else 31
         if scale_bits <= 30:
             bits = [q0_bits] + [scale_bits] * levels
             alpha = 1

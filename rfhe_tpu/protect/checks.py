@@ -196,14 +196,19 @@ def barrett_range_protected(x_hi: jnp.ndarray, x_lo: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def mont_mul_checked(a: jnp.ndarray, b: jnp.ndarray, qb, qinvb,
-                     s_bits: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     s_bits: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """u32.mont_mul plus the reference's intra fold product check
     (barrett_final.py:137-142 adapted to Montgomery): the full 64-bit
     product a·b is verified against fold(a)·fold(b) mod 2^s+1, and the
     reduced output against the [0, q) range window.  The 64-bit product is
     shared with the reduction (XLA CSE), so a fault in the multiplier
     corrupts both the output and the checked value — and is caught by the
-    independent folded re-multiplication.  Returns (out, ok) elementwise."""
+    independent folded re-multiplication.  Returns (out, ok) elementwise.
+
+    s=16 default: halves the fold chunk count vs the reference's narrower
+    widths (cheapest on the VPU — each chunk is shift+mask+add) AND drops
+    the collision bound to ~1/(2^16+1) (the fold-width ramp of
+    barrett_final.py gets strictly better with wider s)."""
     qb = jnp.asarray(qb, dtype=jnp.uint32)
     qinvb = jnp.asarray(qinvb, dtype=jnp.uint32)
     hi, lo = mul32_parts(a, b)
@@ -222,20 +227,24 @@ def mont_mul_checked(a: jnp.ndarray, b: jnp.ndarray, qb, qinvb,
 
 def sum_u64_exact(v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact integer sum along the last axis of u32 values as a (hi, lo)
-    u64 pair (log-depth carry-tracked tree; last dim must be a power of 2).
-    Backbone of the keyswitch digit-extension ECC (fhe/protected.py): the
-    extension is linear over the integers mod each target modulus, so the
-    exact input sum reduces to a per-limb checksum."""
-    hi = jnp.zeros_like(v)
-    lo = v
-    assert (lo.shape[-1] & (lo.shape[-1] - 1)) == 0
-    while lo.shape[-1] > 1:
-        h = lo.shape[-1] // 2
-        s = lo[..., :h] + lo[..., h:]
-        c = (s < lo[..., :h]).astype(jnp.uint32)
-        hi = hi[..., :h] + hi[..., h:] + c
-        lo = s
-    return hi[..., 0], lo[..., 0]
+    u64 pair.  Backbone of the keyswitch digit-extension ECC
+    (fhe/protected.py): the extension is linear over the integers mod each
+    target modulus, so the exact input sum reduces to a per-limb checksum.
+
+    Two wide `jnp.sum` reduces over the 16-bit half-word planes (each plane
+    sum < 2^32 for axis length <= 2^16 — exact in u32), recombined as
+    S = s_hi·2^16 + s_lo with one carry.  Replaces the log-depth
+    carry-tracked halving tree, whose per-level sliced ops dominated the
+    protected evaluator's ECC cost (round-5 ablation)."""
+    n = v.shape[-1]
+    assert n <= (1 << 16), "plane sums overflow u32 beyond 2^16 elements"
+    s_lo = jnp.sum(v & jnp.uint32(0xFFFF), axis=-1, dtype=jnp.uint32)
+    s_hi = jnp.sum(v >> 16, axis=-1, dtype=jnp.uint32)
+    # S = s_hi·2^16 + s_lo exactly, as a u32 pair
+    lo = s_lo + (s_hi << 16)
+    carry = (lo < s_lo).astype(jnp.uint32)
+    hi = (s_hi >> 16) + carry
+    return hi, lo
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,10 @@ class NttGuard:
     vi_mont: jnp.ndarray      # (L, n) uint32, (M⁻ᵀφ)·R mod q  (inverse)
     q_arr: jnp.ndarray        # (L,)
     qinv_arr: jnp.ndarray
+    # transpose-probe tables (arbitrary-probe Mᵀu at build time; see
+    # transpose_probe): ψ^{-t} plain and ψ^t·R² per limb
+    psi_inv: jnp.ndarray = None    # (L, n) uint32
+    dmont: jnp.ndarray = None      # (L, n) uint32
 
     @classmethod
     def make(cls, plan, seed: int = 2024) -> "NttGuard":
@@ -91,10 +95,12 @@ class NttGuard:
         vf = np.empty((L, n), dtype=np.uint32)
         vi = np.empty((L, n), dtype=np.uint32)
         phi_m = np.empty((L, n), dtype=np.uint32)
+        psi_i = np.empty((L, n), dtype=np.uint32)
+        dm = np.empty((L, n), dtype=np.uint32)
         t = np.arange(n)
         for li, q in enumerate(qs):
             R = (1 << 32) % q
-            pw, _ = psi_pows[li]
+            pw, pi = psi_pows[li]
             # vf = R·ψ^t·Ĥ[t]; store in Montgomery form (·R again)
             vf[li] = (Hf[li] * pw % q) * R % q * R % q
             # vi[p] = n^{-1}·R^{-1}·Ĝ[nu[p]], Ĝ[k] = Ĝ⁺[(n-k) mod n]
@@ -102,10 +108,13 @@ class NttGuard:
             c = mod_inv(n, q) * mod_inv(R, q) % q
             vi[li] = (G * c % q) * R % q
             phi_m[li] = phi[li] * R % q
+            psi_i[li] = pi.astype(np.uint32)
+            dm[li] = (pw % q) * R % q * R % q
         return cls(
             phi_mont=jnp.asarray(phi_m), vf_mont=jnp.asarray(vf),
             vi_mont=jnp.asarray(vi),
-            q_arr=plan.q_arr, qinv_arr=plan.qinv_arr)
+            q_arr=plan.q_arr, qinv_arr=plan.qinv_arr,
+            psi_inv=jnp.asarray(psi_i), dmont=jnp.asarray(dm))
 
     @property
     def L(self) -> int:
@@ -116,10 +125,31 @@ class NttGuard:
         return NttGuard(
             phi_mont=self.phi_mont[idx], vf_mont=self.vf_mont[idx],
             vi_mont=self.vi_mont[idx],
-            q_arr=self.q_arr[idx], qinv_arr=self.qinv_arr[idx])
+            q_arr=self.q_arr[idx], qinv_arr=self.qinv_arr[idx],
+            psi_inv=None if self.psi_inv is None else self.psi_inv[idx],
+            dmont=None if self.dmont is None else self.dmont[idx])
 
     def slice(self, k: int) -> "NttGuard":
         return self.take(np.arange(k))
+
+    # -- probe construction ------------------------------------------------
+    def transpose_probe(self, plan, probe_mont: jnp.ndarray) -> jnp.ndarray:
+        """Mᵀu for an ARBITRARY probe: given u in Montgomery form (u·R,
+        shape (..., L, n) stored values), return V_mont such that for all x
+
+            Σ mont_mul(V_mont, x)  ==  Σ mont_mul(u_mont, plan.fwd(x))   (mod q)
+
+        per limb — the projection <u, Mx> pushed through the transform at
+        probe-BUILD time, so a runtime check of a whole linear pipeline
+        (NTT → ⊙key → accumulate, fhe/protected.py's keyswitch-core check)
+        needs only one modular dot against the INPUT.  Same Ĥ construction
+        as `make` (module docstring): z = u[ν⁻¹]·ψ^{-t} (Montgomery algebra
+        absorbs the R^{-1}), Û = fwd(z)[ν⁻¹], V_mont = Û·ψ^t·R²·R^{-1}."""
+        qb = self.q_arr[:, None]
+        qinvb = self.qinv_arr[:, None]
+        z = u32.mont_mul(probe_mont[..., plan.nu_inv], self.psi_inv, qb, qinvb)
+        u_hat = plan.fwd(z)[..., plan.nu_inv]
+        return u32.mont_mul(u_hat, self.dmont, qb, qinvb)
 
     # -- runtime checks ----------------------------------------------------
     def _dot(self, w_mont: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

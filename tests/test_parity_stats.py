@@ -131,9 +131,10 @@ def test_committed_evaluator_flips_honest():
     """The committed protected-evaluator flip campaign must match what the
     code actually does (round-3 verdict weak #2: a stale CSV claimed 100%
     detection on the designed-miss storage stages — a stuck-detector
-    signature).  Compute stages detect every output-changing flip; the
-    documented post-check storage window (prod0/acc0/ks_out) misses ALL of
-    them and no detector fires."""
+    signature).  Covered stages (everything inside the KS-CORE projection
+    span, including the former prod0/acc0 windows) detect every
+    output-changing flip; ks_out — after the last detector read — misses
+    ALL of them and no detector fires."""
     from rfhe_tpu.faults.evaluator_campaign import (
         COMPUTE_STAGES, MISS_STAGES, check_row)
 
