@@ -79,7 +79,17 @@ def _phase_times(ckks, level: int, r1: int = 4, r2: int = 32,
         for i in lim]))
 
     def t(body, x):
-        return device_time(body, x, r1=r1, r2=r2, iters=iters)
+        # adaptive reps: a 0.0 slope means the phase's signal fell below
+        # host noise at this rep count (round-4 verdict weak #7: the
+        # committed N=16384 MODDOWN cell) — escalate r by 4x until the
+        # measurement resolves (two escalations = 16x the configured reps)
+        a, b = r1, r2
+        for _ in range(3):
+            v = device_time(body, x, r1=a, r2=b, iters=iters)
+            if v > 0.0:
+                return v
+            a, b = a * 4, b * 4
+        return v
 
     out: Dict[str, float] = {}
     out["PERMUTE"] = t(lambda c: c[:, perm], x_act)
@@ -113,7 +123,75 @@ def _phase_times(ckks, level: int, r1: int = 4, r2: int = 32,
         return jnp.concatenate([a, acc[a.shape[0]:]], axis=0)
 
     out["MODDOWN"] = t(moddown, x_acc)
+
+    # Mod-down decomposed by KERNEL CLASS (the reference's sum_trace.py
+    # aggregates [NTT]/[BASECONV]/[MODREDUCTION] tags wherever they occur,
+    # including inside SEAL's mod-down — without this split the dnum ramp's
+    # low-dnum rows, where α = ceil(L/dnum) special primes dominate the
+    # mod-down, would dump the NTT/BaseConv work hiding in drop_limb into
+    # "Others").  Each body mirrors drop_limb's α-iteration loop shapes
+    # (rns.drop_limb: 1-limb INTT → lift_to_limbs over K_i kept limbs →
+    # K_i-limb delta NTT → sub + Shoup scale) with wrapping-add glue.
+    from ..fhe.rns import lift_to_limbs, limb_plan
+
+    def md_intt(acc):
+        add = jnp.zeros_like(acc[0])
+        for k_i in range(n_sp - 1, -1, -1):
+            row = negacyclic_intt(acc[active + k_i:active + k_i + 1],
+                                  limb_plan(ctx, sp_idx[k_i]))
+            add = add + row[0]
+        return acc + add[None, :]
+
+    def md_baseconv(acc):
+        add = jnp.zeros_like(acc[0])
+        for k_i in range(n_sp - 1, -1, -1):
+            keep = list(range(active)) + sp_idx[:k_i]
+            delta = lift_to_limbs(acc[active + k_i], sp_idx[k_i], keep, ctx,
+                                  centered=True)
+            add = add + jnp.sum(delta, axis=0)
+        return acc + add[None, :]
+
+    def md_ntt(acc):
+        add = jnp.zeros_like(acc[0])
+        for k_i in range(n_sp - 1, -1, -1):
+            keep = list(range(active)) + sp_idx[:k_i]
+            dn = negacyclic_ntt(acc[:len(keep)], ctx.plan.take(keep))
+            add = add + jnp.sum(dn, axis=0)
+        return acc + add[None, :]
+
+    def md_modmul(acc):
+        add = jnp.zeros_like(acc[0])
+        for k_i in range(n_sp - 1, -1, -1):
+            keep = list(range(active)) + sp_idx[:k_i]
+            kidx = np.asarray(keep)
+            q_lo = ctx.plan.q_arr[kidx, None]
+            src = sp_idx[k_i]
+            num = u32.sub_mod(acc[:len(keep)], acc[1:len(keep) + 1], q_lo)
+            s = u32.mul_mod_shoup(num, ctx.qk_inv[src][kidx, None],
+                                  ctx.qk_inv_shoup[src][kidx, None], q_lo)
+            add = add + jnp.sum(s, axis=0)
+        return acc + add[None, :]
+
+    if n_sp > 0:
+        out["MD_INTT"] = t(md_intt, x_acc)
+        out["MD_BASECONV"] = t(md_baseconv, x_acc)
+        out["MD_NTT"] = t(md_ntt, x_acc)
+        out["MD_MODMUL"] = t(md_modmul, x_acc)
     return out
+
+
+def rotation_total_checked(ckks, level: int, phase_sum: float,
+                           r1: int = 4, r2: int = 32) -> float:
+    """rotation_total with a consistency retry: the fused total can never
+    be under half the sum of its own phases, so a slope that low is a
+    measurement hiccup (observed once: 0.15 µs against a 1.4 ms phase sum
+    at dnum=1) — re-measure up to 3 times and keep the first sane value."""
+    tot = 0.0
+    for _ in range(3):
+        tot = rotation_total(ckks, level, r1=r1, r2=r2)
+        if tot >= 0.5 * phase_sum:
+            return tot
+    return tot
 
 
 def rotation_total(ckks, level: int, r1: int = 4, r2: int = 32,
@@ -142,10 +220,21 @@ def rotation_total(ckks, level: int, r1: int = 4, r2: int = 32,
 
 
 def _shares(ph: Dict[str, float]) -> Dict[str, float]:
-    ntt = ph["NTT"] + ph["INTT"]
-    modmul = ph["MULTEVK"]
-    baseconv = ph["BASECONV"]
-    others = ph["PERMUTE"] + ph["MODDOWN"]
+    """Kernel-class shares (reference categories, draw_rotation.py:10-15).
+    When the measured mod-down decomposition is present (MD_*), its INTT/
+    NTT/BaseConv/ModMul constituents count toward those classes — the same
+    attribution the reference's sum_trace.py applies to SEAL's [NTT]/
+    [BASECONV] kernel tags inside mod_switch — and only the unattributed
+    residual stays in Others."""
+    md = [ph.get(k, 0.0) for k in ("MD_INTT", "MD_BASECONV", "MD_NTT",
+                                   "MD_MODMUL")]
+    md_scale = min(1.0, ph["MODDOWN"] / sum(md)) if sum(md) > 0 else 0.0
+    mdi, mdb, mdn, mdm = (v * md_scale for v in md)
+    ntt = ph["NTT"] + ph["INTT"] + mdi + mdn
+    modmul = ph["MULTEVK"] + mdm
+    baseconv = ph["BASECONV"] + mdb
+    others = ph["PERMUTE"] + max(ph["MODDOWN"] - (mdi + mdb + mdn + mdm),
+                                 0.0)
     s = ntt + modmul + baseconv + others
     return {"NTT": ntt / s, "ModMul": modmul / s, "BaseConv": baseconv / s,
             "Others": others / s, "sum_us": s * 1e6}
@@ -182,7 +271,8 @@ def main(argv=None) -> None:
 
     rows = []
     cols = ["n", "limbs", "dnum", "PERMUTE_us", "INTT_us", "BASECONV_us",
-            "NTT_us", "MULTEVK_us", "MODDOWN_us", "total_us",
+            "NTT_us", "MULTEVK_us", "MODDOWN_us", "MD_INTT_us",
+            "MD_BASECONV_us", "MD_NTT_us", "MD_MODMUL_us", "total_us",
             "NTT", "ModMul", "BaseConv", "Others"]
     if args.cmd == "rotation":
         for n in [int(v) for v in args.ns.split(",")]:
@@ -199,8 +289,9 @@ def main(argv=None) -> None:
             r2 = max(args.r2, min(256, (1 << 21) // n))
             r1 = max(4, r2 // 8)
             ph = _phase_times(ckks, level, r1=r1, r2=r2)
-            tot = rotation_total(ckks, level, r1=r1, r2=r2)
             sh = _shares(ph)
+            tot = rotation_total_checked(ckks, level, sh["sum_us"] * 1e-6,
+                                         r1=r1, r2=r2)
             rows.append({
                 "n": n, "limbs": ckks.L, "dnum": "",
                 **{f"{k}_us": round(v * 1e6, 2) for k, v in ph.items()},
@@ -217,8 +308,9 @@ def main(argv=None) -> None:
             r2 = max(args.r2, min(256, (1 << 21) // args.n))
             r1 = max(4, r2 // 8)
             ph = _phase_times(ckks, level, r1=r1, r2=r2)
-            tot = rotation_total(ckks, level, r1=r1, r2=r2)
             sh = _shares(ph)
+            tot = rotation_total_checked(ckks, level, sh["sum_us"] * 1e-6,
+                                         r1=r1, r2=r2)
             rows.append({
                 "n": args.n, "limbs": ckks.L, "dnum": dnum,
                 **{f"{k}_us": round(v * 1e6, 2) for k, v in ph.items()},

@@ -29,7 +29,7 @@ V5E_BF16_FLOPS = 197e12
 V5E_HBM_BPS = 819e9
 
 
-def measure(n: int, limbs: int, batch: int):
+def measure(n: int, limbs: int, batch: int, qbits: int = 30):
     import jax
     import jax.numpy as jnp
     from .. import numth
@@ -37,7 +37,7 @@ def measure(n: int, limbs: int, batch: int):
     from ..ops.ntt_mxu import MxuNttPlan
     from .devtime import device_time
 
-    primes = numth.find_ntt_primes(n, 30, limbs)
+    primes = numth.find_ntt_primes(n, qbits, limbs)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, min(primes), (batch, limbs, n),
                                  dtype=np.uint32))
@@ -91,9 +91,13 @@ def main(argv=None) -> None:
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--limbs", type=int, default=21)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--qbits", type=int, default=30,
+                    help="prime width; narrower primes need fewer int8 "
+                         "digit groups (the VPU-recombination-ceiling "
+                         "experiment, PERF.md)")
     ap.add_argument("--csv", default=None)
     args = ap.parse_args(argv)
-    rows = measure(args.n, args.limbs, args.batch)
+    rows = measure(args.n, args.limbs, args.batch, qbits=args.qbits)
     cols = ["impl", "n", "limbs", "batch", "device_us_per_call",
             "transforms_per_s", "butterflies_per_s", "hbm_floor_pct",
             "int8_ops_per_s", "mxu_peak_pct"]

@@ -383,7 +383,9 @@ def sweep_composition(args) -> None:
     tot = sum(costs.values())
 
     rot_parts = {k: v * 1e6
-                 for k, v in _phase_times(ckks, lvl).items()}
+                 for k, v in _phase_times(ckks, lvl).items()
+                 if not k.startswith("MD_")}   # MD_* decompose MODDOWN;
+    #                                            keeping both double-counts
     rtot = sum(rot_parts.values())
 
     f, w, path = _writer(args.out, "op_composition.csv")
