@@ -253,10 +253,14 @@ class BfvContext:
     """BFV context: keys, batching, evaluator (SEAL-surface parity —
     profile_framewk/src/framewk.cpp bfv_performance_test)."""
 
-    def __init__(self, params: BfvParams, special_bits: int = 31,
+    def __init__(self, params: BfvParams, special_bits: Optional[int] = None,
                  seed: int = 13, dnum: Optional[int] = None):
         self.params = params
         n = params.n
+        if special_bits is None:
+            # 31-bit specials at n=65536 would detach the fused NTT from
+            # the keyswitch basis (see CkksContext.__init__)
+            special_bits = 30 if n >= 65536 else 31
         self.dnum = dnum
         n_sp = 1 if dnum is None else -(-params.L // dnum)
         sps = [p for p in make_prime_chain(n, [special_bits] * (n_sp + 2))

@@ -62,10 +62,14 @@ def _slot_map(n: int) -> np.ndarray:
 
 
 class BgvContext:
-    def __init__(self, params: BgvParams, special_bits: int = 31,
+    def __init__(self, params: BgvParams, special_bits: Optional[int] = None,
                  seed: int = 11, dnum: Optional[int] = None):
         self.params = params
         n = params.n
+        if special_bits is None:
+            # 31-bit specials at n=65536 would detach the fused NTT from
+            # the keyswitch basis (see CkksContext.__init__)
+            special_bits = 30 if n >= 65536 else 31
         self.dnum = dnum
         n_sp = 1 if dnum is None else -(-params.L // dnum)
         sps = [p for p in make_prime_chain(n, [special_bits] * (n_sp + 2))

