@@ -99,8 +99,29 @@ def main(argv=None) -> None:
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--limbs", type=int, default=12)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual device count for the CPU mesh")
+    ap.add_argument("--real", action="store_true",
+                    help="use the default backend's real devices (a TPU "
+                         "slice) instead of the virtual CPU mesh")
     ap.add_argument("--csv", default=None)
     args = ap.parse_args(argv)
+    if not args.real:
+        # default to the virtual CPU mesh: this environment's default
+        # backend is a single tunneled TPU chip, and a 1-device mesh
+        # measures nothing.  XLA_FLAGS must be staged before backend init;
+        # the axon sitecustomize ignores env JAX_PLATFORMS, so force the
+        # platform via jax.config BEFORE any backend is initialized
+        # (tests/conftest.py pattern).
+        import os
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags +
+                f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     rows = measure(args.n, args.limbs, args.iters)
     cols = ["devices", "total_us", "a2a_us", "a2a_share",
             "limb_transforms_per_s", "efficiency"]
