@@ -38,7 +38,15 @@ def measure(n: int, levels: int):
     rows = []
 
     def dev(name, body, x):
-        t = device_time(body, x)
+        # adaptive reps as in bench/phase_profile: a 0.0 slope means the
+        # op's signal fell below host noise — escalate 4x (twice) until
+        # the measurement resolves (sub-us ops like `add` need ~2k reps)
+        r1, r2 = 16, 128
+        for _ in range(3):
+            t = device_time(body, x, r1=r1, r2=r2)
+            if t > 0.0:
+                break
+            r1, r2 = r1 * 4, r2 * 4
         rows.append({"op": name, "mode": "device", "us": round(t * 1e6, 2)})
 
     def wall(name, fn, sync, iters=50):
@@ -51,14 +59,19 @@ def measure(n: int, levels: int):
         us = (time.perf_counter() - t0) / iters * 1e6
         rows.append({"op": name, "mode": "wall", "us": round(us, 2)})
 
-    plan = ckks.ctx.plan
     x = ct.c[0].data
+    # slice the special prime(s) off: the ciphertext carries only the
+    # active limbs, the ctx plan carries active + special
+    plan = ckks.ctx.plan.slice(x.shape[0])
 
     dev("ntt_fwd", lambda a: ntt_pease.negacyclic_ntt(a, plan), x)
     dev("ntt_inv", lambda a: ntt_pease.negacyclic_intt(a, plan), x)
     from ..ops import u32
     dev("dyadic_mult",
         lambda a: u32.mont_mul(a, a, plan.qb(1), plan.qinvb(1)), x)
+    ckks.rotate(ct, 1); ckks.conjugate(ct)   # build galois keys OUTSIDE
+    #                                          the timed traces (lazy key
+    #                                          gen inside a trace leaks)
     dev("rotate", lambda c: ckks.rotate(c, 1), ct)
     dev("conjugate", lambda c: ckks.conjugate(c), ct)
     dev("add", lambda c: ckks.add(c, c), ct)
@@ -75,6 +88,30 @@ def measure(n: int, levels: int):
         ckks.decrypt_decode(ct)
     rows.append({"op": "decrypt_decode(host)", "mode": "wall",
                  "us": round((time.perf_counter() - t0) / 5 * 1e6, 2)})
+
+    # BGV / BFV slope-method rows (round-4 verdict weak #7: the scheme
+    # suite's device story was wall-only).  rotate_rows and multiply_relin
+    # are shape-preserving in both schemes (no rescale; BEHZ multiply
+    # returns to the input basis), so they ride the same fori_loop slope.
+    from ..fhe.bgv import BgvContext
+    from ..fhe.bfv import BfvContext
+    from ..fhe.params import BgvParams, BfvParams
+
+    bgv = BgvContext(BgvParams.make(n=n, levels=min(levels, 9), q_bits=30,
+                                    t_bits=16), seed=11)
+    mb = rng.integers(0, bgv.t, (2, n // 2), dtype=np.uint32)
+    ctb = bgv.encrypt(bgv.encode(mb))
+    bgv.rotate_rows(ctb, 1); bgv.multiply_relin(ctb, ctb)   # warm keys
+    dev("bgv_rotate_rows", lambda c: bgv.rotate_rows(c, 1), ctb)
+    dev("bgv_multiply_relin", lambda c: bgv.multiply_relin(c, c), ctb)
+
+    bfv = BfvContext(BfvParams.make(n=n, levels=min(levels, 9), q_bits=30,
+                                    t_bits=16), seed=13)
+    mf = rng.integers(0, bfv.t, (2, n // 2), dtype=np.uint32)
+    ctf = bfv.encrypt(bfv.encode(mf))
+    bfv.rotate_rows(ctf, 1); bfv.multiply_relin(ctf, ctf)   # warm keys
+    dev("bfv_rotate_rows", lambda c: bfv.rotate_rows(c, 1), ctf)
+    dev("bfv_multiply_relin", lambda c: bfv.multiply_relin(c, c), ctf)
     return rows
 
 
